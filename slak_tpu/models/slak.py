@@ -1,0 +1,459 @@
+"""The SLaK model family, TPU-native (NHWC, functional, jit-friendly).
+
+Re-implements the behavior of the reference ``models/SLaK.py`` (ConvNeXt
+skeleton + ReparamLargeKernelConv with decomposed rectangular large kernels):
+
+  * 4 stages, stem = conv 4x4/s4 + LN, downsample = LN + conv 2x2/s2
+    (reference models/SLaK.py:188-199).
+  * Block = large-kernel dwconv -> LN -> Linear(4x) -> GELU -> Linear ->
+    gamma * -> droppath residual (reference models/SLaK.py:126-166). In NHWC
+    the reference's NCHW<->NHWC permute dance (models/SLaK.py:156-163)
+    disappears.
+  * ReparamLargeKernelConv (reference models/SLaK.py:60-123): when
+    ``decom``, branches LoRA1 (K x s) + LoRA2 (s x K) [+ small s x s when
+    s < K], each conv+BN, summed. When not decom: one K x K branch
+    [+ small]. ``merge`` folds BN and recenters the small kernel into a
+    single conv for deployment (models/SLaK.py:102-122).
+  * kernel_size is a 5-list: 4 per-stage kernel sizes + trailing small
+    kernel; ConvNeXt mode is [7,7,7,7,100] which disables the small branch
+    (small >= K) (reference README.md:137, models/SLaK.py:85-87).
+
+Parameters are plain nested dicts (pytrees); BN running stats live in a
+separate ``state`` tree so grads stay clean. All functions are pure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slak_tpu.models.layers import layer_norm, gelu, drop_path, trunc_normal
+from slak_tpu.ops.batchnorm import batch_norm, fold_bn
+from slak_tpu.ops.depthwise import depthwise_conv2d, large_kernel_conv
+
+Array = jax.Array
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SLaKConfig:
+    depths: Tuple[int, ...] = (3, 3, 9, 3)
+    dims: Tuple[int, ...] = (96, 192, 384, 768)
+    kernel_size: Tuple[int, ...] = (51, 49, 47, 13, 5)  # 4 stage Ks + small
+    width_factor: float = 1.0
+    decom: bool = True               # reference flag ``Decom``
+    branch_bn: bool = True           # reference flag ``bn``: BN on each branch
+    num_classes: int = 1000
+    in_chans: int = 3
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    head_init_scale: float = 1.0
+    conv_impl: str = "auto"          # 'auto' | 'xla' | 'pallas'
+    bn_axis_name: Optional[str] = None  # SyncBN over this mesh axis if set
+
+    @property
+    def widened_dims(self) -> Tuple[int, ...]:
+        return tuple(int(d * self.width_factor) for d in self.dims)
+
+    @property
+    def small_kernel(self) -> int:
+        return self.kernel_size[-1]
+
+    def stage_kernel(self, i: int) -> int:
+        return self.kernel_size[i]
+
+    def has_small_branch(self, i: int) -> bool:
+        return self.small_kernel < self.stage_kernel(i)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _conv_init(rng, kh, kw, cin, cout, bias=True):
+    p = {"w": trunc_normal(rng, (kh, kw, cin, cout))}
+    if bias:
+        p["b"] = jnp.zeros((cout,), jnp.float32)
+    return p
+
+
+def _dense_init(rng, cin, cout):
+    return {"w": trunc_normal(rng, (cin, cout)),
+            "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def _ln_init(c):
+    return {"scale": jnp.ones((c,), jnp.float32),
+            "bias": jnp.zeros((c,), jnp.float32)}
+
+
+def _branch_init(rng, kh, kw, c, branch_bn):
+    """One conv(+BN) branch of the large-kernel conv. Weight (kh, kw, C)."""
+    params = {"w": trunc_normal(rng, (kh, kw, c))}
+    state = {}
+    if branch_bn:
+        params["bn"] = {"scale": jnp.ones((c,), jnp.float32),
+                        "bias": jnp.zeros((c,), jnp.float32)}
+        state["bn"] = {"mean": jnp.zeros((c,), jnp.float32),
+                       "var": jnp.ones((c,), jnp.float32)}
+    return params, state
+
+
+def _lk_init(rng, cfg: SLaKConfig, stage: int, c: int):
+    k = cfg.stage_kernel(stage)
+    s = cfg.small_kernel
+    params, state = {}, {}
+    keys = jax.random.split(rng, 3)
+    if cfg.decom:
+        params["LoRA1"], state["LoRA1"] = _branch_init(keys[0], k, s, c,
+                                                       cfg.branch_bn)
+        params["LoRA2"], state["LoRA2"] = _branch_init(keys[1], s, k, c,
+                                                       cfg.branch_bn)
+    else:
+        params["origin"], state["origin"] = _branch_init(keys[0], k, k, c,
+                                                         cfg.branch_bn)
+    if cfg.has_small_branch(stage):
+        params["small"], state["small"] = _branch_init(keys[2], s, s, c,
+                                                       cfg.branch_bn)
+    return params, state
+
+
+def _block_init(rng, cfg: SLaKConfig, stage: int, c: int):
+    keys = jax.random.split(rng, 4)
+    lk_p, lk_s = _lk_init(keys[0], cfg, stage, c)
+    params = {
+        "lk": lk_p,
+        "norm": _ln_init(c),
+        "pwconv1": _dense_init(keys[1], c, 4 * c),
+        "pwconv2": _dense_init(keys[2], 4 * c, c),
+    }
+    if cfg.layer_scale_init_value > 0:
+        params["gamma"] = jnp.full((c,), cfg.layer_scale_init_value,
+                                   jnp.float32)
+    return params, {"lk": lk_s}
+
+
+def init(rng: jax.Array, cfg: SLaKConfig) -> Tuple[Params, Params]:
+    """Returns (params, state). state holds BN running stats."""
+    dims = cfg.widened_dims
+    n_keys = 6 + sum(cfg.depths)
+    keys = iter(jax.random.split(rng, n_keys))
+
+    downsample: List[Params] = []
+    downsample.append({
+        "conv": _conv_init(next(keys), 4, 4, cfg.in_chans, dims[0]),
+        "norm": _ln_init(dims[0]),
+    })
+    for i in range(3):
+        downsample.append({
+            "norm": _ln_init(dims[i]),
+            "conv": _conv_init(next(keys), 2, 2, dims[i], dims[i + 1]),
+        })
+
+    stages, stages_state = [], []
+    for i in range(4):
+        blocks, blocks_state = [], []
+        for _ in range(cfg.depths[i]):
+            bp, bs = _block_init(next(keys), cfg, i, dims[i])
+            blocks.append(bp)
+            blocks_state.append(bs)
+        stages.append(blocks)
+        stages_state.append(blocks_state)
+
+    head = _dense_init(next(keys), dims[-1], cfg.num_classes)
+    head = {"w": head["w"] * cfg.head_init_scale,
+            "b": head["b"] * cfg.head_init_scale}
+
+    params = {
+        "downsample": downsample,
+        "stages": stages,
+        "norm": _ln_init(dims[-1]),
+        "head": head,
+    }
+    state = {"stages": stages_state}
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
+    """conv(+BN) branch. Returns (y, new_branch_state)."""
+    y = depthwise_conv2d(x, p["w"], impl=cfg.conv_impl)
+    new_s = dict(s)
+    if "bn" in p:
+        y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
+                             s["bn"]["mean"], s["bn"]["var"], train=train,
+                             axis_name=cfg.bn_axis_name if train else None)
+        new_s["bn"] = {"mean": m, "var": v}
+    return y, new_s
+
+
+def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
+    """ReparamLargeKernelConv forward (reference models/SLaK.py:89-100)."""
+    if "reparam" in p:
+        y = depthwise_conv2d(x, p["reparam"]["w"], b=p["reparam"]["b"],
+                             impl=cfg.conv_impl)
+        return y, s
+
+    branch_names = [n for n in ("LoRA1", "LoRA2", "origin", "small") if n in p]
+    if not train and all("bn" in p[n] for n in branch_names):
+        # eval fast path: fold each branch BN into an affine, fuse all
+        # branches into one pass over the input.
+        ws, scales, biases = [], [], []
+        for n in branch_names:
+            mult, add = fold_bn(p[n]["bn"]["scale"], p[n]["bn"]["bias"],
+                                s[n]["bn"]["mean"], s[n]["bn"]["var"])
+            ws.append(p[n]["w"])
+            scales.append(mult)
+            biases.append(add)
+        y = large_kernel_conv(x, ws, scales, biases, impl=cfg.conv_impl)
+        return y, s
+
+    out = None
+    new_s = {}
+    for n in branch_names:
+        y, new_s[n] = _branch_forward(x, p[n], s[n], train=train, cfg=cfg)
+        out = y if out is None else out + y
+    return out, new_s
+
+
+def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
+    shortcut = x
+    y, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train, cfg=cfg)
+    y = layer_norm(y, p["norm"]["scale"], p["norm"]["bias"])
+    y = jnp.dot(y, p["pwconv1"]["w"].astype(y.dtype),
+                preferred_element_type=jnp.float32).astype(y.dtype)
+    y = y + p["pwconv1"]["b"].astype(y.dtype)
+    y = gelu(y)
+    y = jnp.dot(y, p["pwconv2"]["w"].astype(y.dtype),
+                preferred_element_type=jnp.float32).astype(y.dtype)
+    y = y + p["pwconv2"]["b"].astype(y.dtype)
+    if "gamma" in p:
+        y = y * p["gamma"].astype(y.dtype)
+    y = drop_path(y, dp_rate, rng, train)
+    return shortcut + y, {"lk": lk_state}
+
+
+def _downsample_forward(x, p, idx):
+    if idx == 0:
+        w = p["conv"]["w"]
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(4, 4), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + p["conv"]["b"].astype(x.dtype)
+        x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+    else:
+        x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
+        w = p["conv"]["w"]
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), window_strides=(2, 2), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + p["conv"]["b"].astype(x.dtype)
+    return x
+
+
+def _dp_rates(cfg: SLaKConfig) -> List[float]:
+    total = sum(cfg.depths)
+    if total == 1:
+        return [0.0]
+    return [cfg.drop_path_rate * i / (total - 1) for i in range(total)]
+
+
+def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
+                     rng=None, return_stages=False):
+    """Backbone forward. Returns (pooled_features | stage list, new_state)."""
+    dp = _dp_rates(cfg)
+    new_stages_state = []
+    stage_outputs = []
+    cur = 0
+    for i in range(4):
+        x = _downsample_forward(x, params["downsample"][i], i)
+        blocks_state = []
+        for j, bp in enumerate(params["stages"][i]):
+            block_rng = None
+            if rng is not None and train:
+                rng, block_rng = jax.random.split(rng)
+            x, bs = _block_forward(
+                x, bp, state["stages"][i][j], train=train,
+                dp_rate=dp[cur + j], rng=block_rng, cfg=cfg)
+            blocks_state.append(bs)
+        new_stages_state.append(blocks_state)
+        stage_outputs.append(x)
+        cur += cfg.depths[i]
+    new_state = {"stages": new_stages_state}
+    if return_stages:
+        return stage_outputs, new_state
+    pooled = jnp.mean(x, axis=(1, 2))  # GAP over H, W
+    pooled = layer_norm(pooled, params["norm"]["scale"], params["norm"]["bias"])
+    return pooled, new_state
+
+
+def apply(params, state, x, *, cfg: SLaKConfig, train: bool = False,
+          rng: Optional[jax.Array] = None):
+    """Full classifier forward: (N,H,W,C) images -> (N, num_classes) logits.
+
+    Returns (logits, new_state).
+    """
+    feats, new_state = forward_features(params, state, x, cfg=cfg,
+                                        train=train, rng=rng)
+    logits = jnp.dot(feats, params["head"]["w"].astype(feats.dtype),
+                     preferred_element_type=jnp.float32)
+    logits = logits + params["head"]["b"]
+    return logits.astype(jnp.float32), new_state
+
+
+# ---------------------------------------------------------------------------
+# reparameterization (deployment merge, reference models/SLaK.py:102-122)
+# ---------------------------------------------------------------------------
+
+
+def _pad_center_2d(w: Array, kh: int, kw: int) -> Array:
+    """Zero-pad a (h, w, C) kernel to (kh, kw, C) at the center."""
+    h, wd, _ = w.shape
+    ph, pw = (kh - h) // 2, (kw - wd) // 2
+    return jnp.pad(w, ((ph, kh - h - ph), (pw, kw - wd - pw), (0, 0)))
+
+
+def merge_lk(p, s, stage_kernel: int):
+    """Fold BN and merge branches into a single (K, K, C) conv + bias.
+
+    The reference only merges the non-Decom path (models/SLaK.py:111-122);
+    we additionally support merging the decomposed rectangular branches by
+    zero-padding them into the full K x K kernel — mathematically exact for
+    stride-1 same-padded convs.
+    """
+    k = stage_kernel
+    eq_w = None
+    eq_b = None
+    for name in ("LoRA1", "LoRA2", "origin", "small"):
+        if name not in p:
+            continue
+        w = p[name]["w"]
+        if "bn" in p[name]:
+            mult, add = fold_bn(p[name]["bn"]["scale"], p[name]["bn"]["bias"],
+                                s[name]["bn"]["mean"], s[name]["bn"]["var"])
+            w = w * mult
+            b = add
+        else:
+            b = jnp.zeros((w.shape[-1],), jnp.float32)
+        w = _pad_center_2d(w, k, k)
+        eq_w = w if eq_w is None else eq_w + w
+        eq_b = b if eq_b is None else eq_b + b
+    return {"reparam": {"w": eq_w, "b": eq_b}}
+
+
+def merge_model(params, state, cfg: SLaKConfig):
+    """Return params with every block's large-kernel conv reparameterized."""
+    new_stages = []
+    for i, blocks in enumerate(params["stages"]):
+        nb = []
+        for j, bp in enumerate(blocks):
+            bp = dict(bp)
+            bp["lk"] = merge_lk(bp["lk"], state["stages"][i][j]["lk"],
+                                cfg.stage_kernel(i))
+            nb.append(bp)
+        new_stages.append(nb)
+    out = dict(params)
+    out["stages"] = new_stages
+    return out
+
+
+# ---------------------------------------------------------------------------
+# model registry (reference models/SLaK.py:264-286, convnext.py:164-201)
+# ---------------------------------------------------------------------------
+
+
+class SLaK:
+    """Thin OO wrapper bundling a config with init/apply."""
+
+    def __init__(self, cfg: SLaKConfig):
+        self.cfg = cfg
+
+    def init(self, rng):
+        return init(rng, self.cfg)
+
+    def apply(self, params, state, x, **kw):
+        return apply(params, state, x, cfg=self.cfg, **kw)
+
+    def forward_features(self, params, state, x, **kw):
+        return forward_features(params, state, x, cfg=self.cfg, **kw)
+
+    def merge(self, params, state):
+        return merge_model(params, state, self.cfg)
+
+
+def _make(depths, dims, **kw) -> SLaK:
+    return SLaK(SLaKConfig(depths=tuple(depths), dims=tuple(dims), **kw))
+
+
+def slak_tiny(**kw):
+    return _make([3, 3, 9, 3], [96, 192, 384, 768], **kw)
+
+
+def slak_small(**kw):
+    return _make([3, 3, 27, 3], [96, 192, 384, 768], **kw)
+
+
+def slak_base(**kw):
+    return _make([3, 3, 27, 3], [128, 256, 512, 1024], **kw)
+
+
+def slak_large(**kw):
+    return _make([3, 3, 27, 3], [192, 384, 768, 1536], **kw)
+
+
+def _convnext_kw(kw):
+    # ConvNeXt = SLaK with 7x7 kernels, no decomposition, no small branch
+    # (reference README.md:137: kernel_size [7,7,7,7,100], Decom False).
+    kw.setdefault("kernel_size", (7, 7, 7, 7, 100))
+    kw.setdefault("decom", False)
+    kw.setdefault("branch_bn", False)
+    return kw
+
+
+def convnext_tiny(**kw):
+    return _make([3, 3, 9, 3], [96, 192, 384, 768], **_convnext_kw(kw))
+
+
+def convnext_small(**kw):
+    return _make([3, 3, 27, 3], [96, 192, 384, 768], **_convnext_kw(kw))
+
+
+def convnext_base(**kw):
+    return _make([3, 3, 27, 3], [128, 256, 512, 1024], **_convnext_kw(kw))
+
+
+def convnext_large(**kw):
+    return _make([3, 3, 27, 3], [192, 384, 768, 1536], **_convnext_kw(kw))
+
+
+def convnext_xlarge(**kw):
+    return _make([3, 3, 27, 3], [256, 512, 1024, 2048], **_convnext_kw(kw))
+
+
+MODEL_REGISTRY = {
+    "SLaK_tiny": slak_tiny,
+    "SLaK_small": slak_small,
+    "SLaK_base": slak_base,
+    "SLaK_large": slak_large,
+    "convnext_tiny": convnext_tiny,
+    "convnext_small": convnext_small,
+    "convnext_base": convnext_base,
+    "convnext_large": convnext_large,
+    "convnext_xlarge": convnext_xlarge,
+}
+
+
+def create_model(name: str, **kw) -> SLaK:
+    if name not in MODEL_REGISTRY:
+        raise ValueError(f"unknown model {name!r}; have {sorted(MODEL_REGISTRY)}")
+    return MODEL_REGISTRY[name](**kw)

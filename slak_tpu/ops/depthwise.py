@@ -1,0 +1,127 @@
+"""Large-kernel depthwise 2-D convolution — the TPU-native replacement for the
+reference's CUTLASS implicit-GEMM CUDA extension.
+
+Reference behavior being replicated (not translated):
+  * ``DepthWiseConv2dImplicitGEMM`` (reference ``depthwise_conv2d_implicit_gemm.py:14-66``)
+    is a stride-1 depthwise conv that *always* uses "same" padding of
+    ``(kh//2, kw//2)`` regardless of what the caller passed (reference
+    ``models/SLaK.py:21-22`` ignores stride/padding args; the extension infers
+    padding per-dimension, ``forward_fp32.cu:140-144``). Kernels may be
+    rectangular, e.g. (51, 5) and (5, 51) for the decomposed branches.
+  * fwd/dgrad/wgrad exist in fp32 + fp16 (accum fp32). Here the XLA/Pallas
+    paths support fp32 + bf16 with fp32 accumulation.
+
+Design notes (TPU-first):
+  * NHWC layout throughout — channels on the 128-lane axis, so per-tap FMAs
+    on the VPU are fully vectorized. (The reference is NCHW because CUDA.)
+  * Weight layout is ``(kh, kw, C)``.
+  * The XLA path (`lax.conv_general_dilated` with ``feature_group_count=C``)
+    is the always-available reference implementation used for correctness
+    diffing; the Pallas path (``slak_tpu.ops.pallas_dwconv``) is the fast path
+    that fuses the three SLaK branches into a single pass over the input.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def _same_pad(kh: int, kw: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    # CUTLASS extension convention: pad = k//2 per spatial dim
+    # (forward_fp32.cu:140-144). Odd kernels => exact "same" output.
+    return ((kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2))
+
+
+def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
+    """Stride-1 same-padded depthwise conv. x: (N,H,W,C), w: (kh,kw,C)."""
+    kh, kw, c = w.shape
+    assert x.shape[-1] == c, f"channel mismatch {x.shape} vs {w.shape}"
+    # HWIO with I=1 (each group has one input channel)
+    rhs = w.reshape(kh, kw, 1, c)
+    out = lax.conv_general_dilated(
+        x,
+        rhs.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=_same_pad(kh, kw),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(x.dtype)
+
+
+def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
+                     impl: str = "auto") -> Array:
+    """Public depthwise conv. impl in {'auto', 'xla', 'pallas'}."""
+    if impl == "pallas" or (impl == "auto" and _pallas_ok(x, w)):
+        from slak_tpu.ops.pallas_dwconv import depthwise_conv2d_pallas
+        out = depthwise_conv2d_pallas(x, w)
+    else:
+        out = depthwise_conv2d_xla(x, w)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
+
+
+def _pallas_ok(x: Array, w: Array) -> bool:
+    """Whether the Pallas fast path supports this shape on this backend."""
+    try:
+        dev = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    if dev != "tpu":
+        return False
+    kh, kw, c = w.shape
+    # stick to odd kernels (same-size output) — all SLaK configs are odd
+    return (kh % 2 == 1) and (kw % 2 == 1)
+
+
+# ---------------------------------------------------------------------------
+# Fused SLaK large-kernel conv: the three-branch decomposed conv
+# (reference ReparamLargeKernelConv, models/SLaK.py:60-100).
+# ---------------------------------------------------------------------------
+
+def large_kernel_conv(
+    x: Array,
+    weights: Sequence[Array],
+    scales: Optional[Sequence[Array]] = None,
+    biases: Optional[Sequence[Array]] = None,
+    impl: str = "auto",
+) -> Array:
+    """Sum of several same-padded stride-1 depthwise convs over the same input,
+    each optionally followed by a per-channel affine (fused BN):
+
+        out = sum_i affine_i(dwconv(x, w_i))
+
+    This is the fused form of ``LoRA1(x) + LoRA2(x) + small_conv(x)`` where
+    each branch is conv+BN (reference models/SLaK.py:92-95). In eval mode the
+    BN folds into (scale, bias); in train mode callers run the branches
+    unfused via :func:`depthwise_conv2d` so BN can see batch stats.
+    """
+    n = len(weights)
+    if scales is None:
+        scales = [None] * n
+    if biases is None:
+        biases = [None] * n
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and all(_pallas_ok(x, w) for w in weights))
+    if use_pallas:
+        from slak_tpu.ops.pallas_dwconv import fused_branch_conv_pallas
+        return fused_branch_conv_pallas(x, list(weights), list(scales),
+                                        list(biases))
+    out = None
+    for w, s, b in zip(weights, scales, biases):
+        y = depthwise_conv2d_xla(x, w)
+        if s is not None:
+            y = y * s.astype(y.dtype)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        out = y if out is None else out + y
+    return out

@@ -1,0 +1,69 @@
+"""Depthwise conv vs torch F.conv2d reference — mirrors the reference's
+extension correctness tests (cutlass/examples/19_.../test_correctness.py),
+parametrized over square and rectangular kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from slak_tpu.ops.depthwise import depthwise_conv2d_xla, large_kernel_conv
+
+
+def torch_dwconv(x_nhwc, w_hwc, pad):
+    x = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    c = w_hwc.shape[-1]
+    w = torch.from_numpy(np.transpose(w_hwc, (2, 0, 1)))[:, None]  # (C,1,kh,kw)
+    y = F.conv2d(x, w, padding=pad, groups=c)
+    return np.transpose(y.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (7, 7), (13, 13), (31, 31),
+                                   (51, 5), (5, 51), (61, 5)])
+def test_dwconv_matches_torch(rng, kh, kw):
+    n, h, w, c = 2, 16, 16, 8
+    x = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    wt = rng.standard_normal((kh, kw, c), dtype=np.float32) * 0.1
+    got = np.asarray(depthwise_conv2d_xla(jnp.asarray(x), jnp.asarray(wt)))
+    want = torch_dwconv(x, wt, (kh // 2, kw // 2))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_dwconv_grads_match_torch(rng):
+    n, h, w, c, k = 2, 12, 12, 4, 7
+    x = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    wt = rng.standard_normal((k, k, c), dtype=np.float32) * 0.1
+
+    def loss_jax(x_, w_):
+        return jnp.sum(depthwise_conv2d_xla(x_, w_) ** 2)
+
+    gx, gw = jax.grad(loss_jax, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(wt))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2))).requires_grad_(True)
+    wt_t = torch.from_numpy(np.transpose(wt, (2, 0, 1)))[:, None].requires_grad_(True)
+    y = F.conv2d(xt, wt_t, padding=k // 2, groups=c)
+    (y ** 2).sum().backward()
+    gx_t = np.transpose(xt.grad.numpy(), (0, 2, 3, 1))
+    gw_t = np.transpose(wt_t.grad.numpy()[:, 0], (1, 2, 0))
+    np.testing.assert_allclose(np.asarray(gx), gx_t, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), gw_t, rtol=1e-4, atol=1e-3)
+
+
+def test_large_kernel_conv_fuses_branches(rng):
+    """sum of (conv * scale + bias) across branches == fused op."""
+    n, h, w, c = 2, 10, 10, 4
+    x = rng.standard_normal((n, h, w, c), dtype=np.float32)
+    shapes = [(13, 5), (5, 13), (5, 5)]
+    ws = [jnp.asarray(rng.standard_normal((kh, kw, c), dtype=np.float32) * 0.1)
+          for kh, kw in shapes]
+    scales = [jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+              for _ in shapes]
+    biases = [jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+              for _ in shapes]
+    fused = large_kernel_conv(jnp.asarray(x), ws, scales, biases, impl="xla")
+    want = sum(depthwise_conv2d_xla(jnp.asarray(x), wi) * s + b
+               for wi, s, b in zip(ws, scales, biases))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

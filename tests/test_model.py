@@ -1,0 +1,126 @@
+"""Model-level tests: shapes, BN semantics vs torch, LN parity, reparam merge
+equivalence (reference models/SLaK.py:102-122 merge math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from slak_tpu.models import slak as M
+from slak_tpu.models.layers import layer_norm, gelu
+from slak_tpu.ops.batchnorm import batch_norm
+
+
+def tiny_cfg(**kw):
+    base = dict(depths=(1, 1, 2, 1), dims=(8, 16, 24, 32),
+                kernel_size=(13, 11, 9, 7, 5), decom=True, branch_bn=True,
+                num_classes=10, conv_impl="xla")
+    base.update(kw)
+    return M.SLaKConfig(**base)
+
+
+def test_forward_shapes():
+    cfg = tiny_cfg()
+    params, state = M.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((2, 32, 32, 3))
+    logits, new_state = M.apply(params, state, x, cfg=cfg, train=False)
+    assert logits.shape == (2, 10)
+    # jit-compilable, no recompile surprises
+    f = jax.jit(lambda p, s, x: M.apply(p, s, x, cfg=cfg, train=False))
+    logits2, _ = f(params, state, x)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_widened_dims():
+    cfg = tiny_cfg(width_factor=1.3)
+    assert cfg.widened_dims == tuple(int(d * 1.3) for d in (8, 16, 24, 32))
+    params, state = M.init(jax.random.PRNGKey(0), cfg)
+    x = jnp.zeros((1, 32, 32, 3))
+    logits, _ = M.apply(params, state, x, cfg=cfg)
+    assert logits.shape == (1, 10)
+
+
+def test_convnext_mode_has_no_small_or_decom():
+    cfg = tiny_cfg(kernel_size=(7, 7, 7, 7, 100), decom=False, branch_bn=False)
+    params, _ = M.init(jax.random.PRNGKey(0), cfg)
+    lk = params["stages"][0][0]["lk"]
+    assert set(lk) == {"origin"}
+    assert "bn" not in lk["origin"]
+
+
+def test_batchnorm_matches_torch(rng):
+    c = 6
+    x = rng.standard_normal((4, 5, 5, c), dtype=np.float32)
+    scale = rng.standard_normal(c, dtype=np.float32)
+    bias = rng.standard_normal(c, dtype=np.float32)
+    rm = rng.standard_normal(c, dtype=np.float32)
+    rv = np.abs(rng.standard_normal(c, dtype=np.float32)) + 0.5
+
+    bn = torch.nn.BatchNorm2d(c)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(scale))
+        bn.bias.copy_(torch.from_numpy(bias))
+        bn.running_mean.copy_(torch.from_numpy(rm))
+        bn.running_var.copy_(torch.from_numpy(rv))
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    # eval mode uses running stats (check first: torch's train-mode forward
+    # mutates the running stats in place)
+    bn.eval()
+    want = np.transpose(bn(xt).detach().numpy(), (0, 2, 3, 1))
+    got, _, _ = batch_norm(jnp.asarray(x), scale, bias, rm, rv, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    # train mode
+    bn.train()
+    want = np.transpose(bn(xt).detach().numpy(), (0, 2, 3, 1))
+    got, nm, nv = batch_norm(jnp.asarray(x), scale, bias, rm, rv, train=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(nm), bn.running_mean.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nv), bn.running_var.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_layernorm_and_gelu_match_torch(rng):
+    c = 16
+    x = rng.standard_normal((3, 4, 4, c), dtype=np.float32)
+    scale = rng.standard_normal(c, dtype=np.float32)
+    bias = rng.standard_normal(c, dtype=np.float32)
+    got = layer_norm(jnp.asarray(x), scale, bias)
+    want = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (c,), torch.from_numpy(scale),
+        torch.from_numpy(bias), eps=1e-6).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+    g = gelu(jnp.asarray(x))
+    wg = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(g), wg, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("decom", [True, False])
+def test_reparam_merge_matches_unfused(rng, decom):
+    """Merged single-conv forward == multi-branch eval forward."""
+    cfg = tiny_cfg(decom=decom)
+    params, state = M.init(jax.random.PRNGKey(1), cfg)
+
+    # randomize BN stats so the fold actually does something
+    def jitter(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        out = []
+        for i, leaf in enumerate(leaves):
+            noise = rng.standard_normal(leaf.shape).astype(np.float32)
+            out.append(leaf + 0.05 * jnp.abs(jnp.asarray(noise)))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    state = jitter(state)
+    params = jitter(params)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+    ref, _ = M.apply(params, state, x, cfg=cfg, train=False)
+    merged = M.merge_model(params, state, cfg)
+    got, _ = M.apply(merged, state, x, cfg=cfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-3, atol=1e-3)
