@@ -1,0 +1,10 @@
+from slak_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "replicate"]

@@ -248,7 +248,9 @@ def init_masks(
             keep[name] = m
     masks = keep
 
-    fired = {n: m for n, m in masks.items()}
+    # fresh buffers, not aliases of masks — aliased leaves break buffer
+    # donation of the train state under jit
+    fired = {n: jnp.array(m, copy=True) for n, m in masks.items()}
     return MaskState(masks=masks, fired=fired,
                      steps=jnp.zeros((), jnp.int32), rng=rng)
 

@@ -1,0 +1,232 @@
+"""Jitted train/eval engine — the TPU-native equivalent of the reference's
+``engine.py`` hot loop (``engine.py:17-178``) plus the ``mask.step()``
+integration (``sparse_core.py:300-313``).
+
+One call to :func:`train_step` performs, entirely on device:
+
+  1. gather LR / WD for this iteration from the precomputed cosine arrays
+     (reference writes them into param_groups, ``engine.py:39-44``);
+  2. forward + backward over ``update_freq`` micro-batches via ``lax.scan``
+     (the reference's Python-side grad accumulation, ``engine.py:33,69-88``);
+  3. AdamW step with per-param lr_scale / wd masking;
+  4. ``apply_mask`` (weights * mask after every step, sparse_core.py:316);
+  5. cosine prune-rate decay + ``lax.cond``-gated prune-and-grow every
+     ``update_frequency`` steps — no recompile, masks are data;
+  6. sparse-aware EMA update (model_sema.py:67-91).
+
+Note the reference's AMP caveat (SURVEY.md §3.2): in its AMP branch
+``mask.step()`` is never called, so sparse recipes run fp32. On TPU we train
+in bf16 compute with fp32 params/masks and DST *always* runs — a documented
+improvement, not a divergence in results (masks see fp32 weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from slak_tpu.models import slak as slak_model
+from slak_tpu.sparsity import (MaskConfig, MaskState, apply_mask_to_tree,
+                               cosine_prune_rate, truncate_weights)
+from slak_tpu.train import losses as L
+from slak_tpu.train.ema import ema_init, ema_update
+from slak_tpu.train.optim import (AdamWConfig, adam_momentum, adamw_init,
+                                  adamw_update, param_groups)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    model_state: Any            # BN running stats
+    opt_state: Dict[str, Any]
+    step: Array                 # global optimizer-step counter (int32)
+    mask_state: Optional[MaskState] = None
+    ema_params: Optional[Any] = None
+    ema_model_state: Optional[Any] = None
+
+    def tree_flatten(self):
+        children = (self.params, self.model_state, self.opt_state, self.step,
+                    self.mask_state, self.ema_params, self.ema_model_state)
+        return children, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Recipe constants (reference README.md:102-135, main.py:94-221)."""
+    weight_decay: float = 0.05
+    smoothing: float = 0.1
+    update_freq: int = 1
+    clip_grad: Optional[float] = None
+    ema_decay: Optional[float] = None      # 0.9999 when EMA on
+    layer_decay: Optional[float] = None
+    compute_dtype: Any = jnp.float32       # jnp.bfloat16 on TPU
+    # DST schedule (sparse_core.py:49-64; T_max = total optimizer steps)
+    prune_t_max: int = 0
+
+
+def create_train_state(
+    rng: Array,
+    model: "slak_model.SLaK",
+    train_cfg: TrainConfig,
+    mask_cfg: Optional[MaskConfig] = None,
+    snip_loss_fn: Optional[Callable[[Any], Array]] = None,
+) -> TrainState:
+    params, model_state = model.init(rng)
+    opt_state = adamw_init(params)
+    mask_state = None
+    if mask_cfg is not None:
+        from slak_tpu.sparsity import init_masks
+        mask_state = init_masks(jax.random.fold_in(rng, 1), params, mask_cfg,
+                                loss_fn=snip_loss_fn)
+        params = apply_mask_to_tree(params, mask_state.masks)
+    ema_p = ema_init(params) if train_cfg.ema_decay else None
+    ema_s = ema_init(model_state) if train_cfg.ema_decay else None
+    return TrainState(params=params, model_state=model_state,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                      mask_state=mask_state, ema_params=ema_p,
+                      ema_model_state=ema_s)
+
+
+def make_train_step(
+    model: "slak_model.SLaK",
+    train_cfg: TrainConfig,
+    mask_cfg: Optional[MaskConfig],
+    lr_schedule: Array,          # per-iteration LR array (device-resident)
+    wd_schedule: Optional[Array],
+    adamw_cfg: Optional[AdamWConfig] = None,
+):
+    """Build the jittable train-step function.
+
+    The returned fn has signature
+        (state: TrainState, batch: (images, targets), rng) -> (state, metrics)
+    where images is (update_freq * B, H, W, C) — micro-batching happens
+    inside via lax.scan — and targets are soft (N, num_classes) when mixup
+    is on, else int labels.
+    """
+    acfg = adamw_cfg or AdamWConfig(clip_grad=train_cfg.clip_grad)
+
+    def loss_fn(params, model_state, images, targets, rng):
+        images = images.astype(train_cfg.compute_dtype)
+        logits, new_model_state = model.apply(params, model_state, images,
+                                              train=True, rng=rng)
+        if targets.ndim == 2:
+            loss = L.soft_target_cross_entropy(logits, targets)
+        elif train_cfg.smoothing > 0:
+            loss = L.label_smoothing_cross_entropy(logits, targets,
+                                                   train_cfg.smoothing)
+        else:
+            loss = L.cross_entropy(logits, targets)
+        return loss, new_model_state
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def train_step(state: TrainState, batch, rng):
+        images, targets = batch
+        uf = train_cfg.update_freq
+        it = state.step
+        lr = lr_schedule[jnp.minimum(it, lr_schedule.shape[0] - 1)]
+        wd = train_cfg.weight_decay if wd_schedule is None else \
+            wd_schedule[jnp.minimum(it, wd_schedule.shape[0] - 1)]
+
+        wd_mask, lr_scale = param_groups(state.params,
+                                         train_cfg.layer_decay)
+
+        # --- grad accumulation over update_freq micro-batches (lax.scan) ---
+        if uf > 1:
+            mb = images.shape[0] // uf
+            images = images[:mb * uf].reshape(uf, mb, *images.shape[1:])
+            targets = targets[:mb * uf].reshape(uf, mb, *targets.shape[1:])
+
+            def micro(carry, xt):
+                acc, mstate, k = carry
+                k, sub = jax.random.split(k)
+                g, mstate = grad_fn(state.params, mstate, xt[0], xt[1], sub)
+                acc = jax.tree_util.tree_map(jnp.add, acc, g)
+                return (acc, mstate, k), None
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (gsum, model_state, _), _ = jax.lax.scan(
+                micro, (zero, state.model_state, rng), (images, targets))
+            grads = jax.tree_util.tree_map(lambda g: g / uf, gsum)
+            # loss recomputed on last micro-batch for logging (cheap-ish);
+            # use the scan-final model_state
+            loss, _ = loss_fn(state.params, state.model_state, images[-1],
+                              targets[-1], rng)
+        else:
+            (loss, model_state), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.model_state,
+                                       images, targets, rng)
+
+        # --- optimizer step -------------------------------------------------
+        params, opt_state, gnorm = adamw_update(
+            grads, state.opt_state, state.params, lr, wd, wd_mask, lr_scale,
+            acfg)
+
+        # --- sparsity: apply mask + cond-gated prune/grow -------------------
+        mask_state = state.mask_state
+        if mask_state is not None and mask_cfg is not None:
+            params = apply_mask_to_tree(params, mask_state.masks)
+            new_step = it + 1
+            pr = cosine_prune_rate(new_step, mask_cfg.prune_rate,
+                                   max(train_cfg.prune_t_max, 1),
+                                   mask_cfg.eta_min)
+            if mask_cfg.update_frequency and not mask_cfg.fix:
+                do = (new_step % mask_cfg.update_frequency) == 0
+
+                def refresh(args):
+                    ms, p = args
+                    mom = adam_momentum(opt_state)
+                    return truncate_weights(ms, p, mask_cfg, pr, grads=grads,
+                                            momentum=mom)
+
+                mask_state, params = jax.lax.cond(
+                    do, refresh, lambda a: a, (mask_state, params))
+
+        # --- EMA -------------------------------------------------------------
+        ema_p, ema_s = state.ema_params, state.ema_model_state
+        if train_cfg.ema_decay:
+            masks = mask_state.masks if mask_state is not None else None
+            ema_p = ema_update(ema_p, params, train_cfg.ema_decay, masks)
+            ema_s = ema_update(ema_s, model_state, train_cfg.ema_decay)
+
+        new_state = TrainState(
+            params=params, model_state=model_state, opt_state=opt_state,
+            step=it + 1, mask_state=mask_state, ema_params=ema_p,
+            ema_model_state=ema_s)
+        metrics = {"loss": loss, "lr": lr, "grad_norm": gnorm,
+                   "weight_decay": wd}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: "slak_model.SLaK",
+                   compute_dtype=jnp.float32):
+    """evaluate() equivalent (engine.py:142-178): CE loss + top-1/5."""
+
+    def eval_step(params, model_state, batch):
+        images, labels = batch
+        logits, _ = model.apply(params, model_state,
+                                images.astype(compute_dtype), train=False)
+        return {
+            "loss": L.cross_entropy(logits, labels),
+            "acc1": L.accuracy_topk(logits, labels, 1),
+            "acc5": L.accuracy_topk(logits, labels, 5),
+            "n": jnp.float32(labels.shape[0]),
+        }
+
+    return eval_step
