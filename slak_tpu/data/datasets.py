@@ -97,7 +97,8 @@ class SyntheticDataset:
 def build_dataset(is_train: bool, data_set: str, data_path: str,
                   transform: Optional[Callable] = None,
                   eval_data_path: Optional[str] = None,
-                  nb_classes: Optional[int] = None):
+                  nb_classes: Optional[int] = None,
+                  synthetic_len: int = 1024, synthetic_size: int = 224):
     """Mirror of reference ``build_dataset`` (datasets.py:16-47).
 
     Returns (dataset, nb_classes)."""
@@ -113,7 +114,8 @@ def build_dataset(is_train: bool, data_set: str, data_path: str,
         ds = ImageFolderDataset(root, transform)
         return ds, nb_classes if nb_classes is not None else ds.nb_classes
     if data_set == "synthetic":
-        ds = SyntheticDataset(transform=transform,
+        ds = SyntheticDataset(n=synthetic_len, size=synthetic_size,
+                              transform=transform,
                               nb_classes=nb_classes or 1000)
         return ds, ds.nb_classes
     raise NotImplementedError(data_set)

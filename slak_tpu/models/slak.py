@@ -440,7 +440,14 @@ def convnext_xlarge(**kw):
     return _make([3, 3, 27, 3], [256, 512, 1024, 2048], **_convnext_kw(kw))
 
 
+def slak_debug(**kw):
+    """Tiny config for tests/CI smoke runs (not in the reference)."""
+    kw.setdefault("kernel_size", (13, 11, 9, 7, 5))
+    return _make([1, 1, 2, 1], [8, 16, 24, 32], **kw)
+
+
 MODEL_REGISTRY = {
+    "SLaK_debug": slak_debug,
     "SLaK_tiny": slak_tiny,
     "SLaK_small": slak_small,
     "SLaK_base": slak_base,

@@ -46,10 +46,13 @@ def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
         raise RuntimeError("orbax not available")
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
-            abstract = jax.tree_util.tree_map(
-                lambda x: ocp.utils.to_shape_dtype_struct(x)
-                if hasattr(x, "shape") else x, target)
-            return ckptr.restore(path, item=abstract)
+            # construct_restore_args carries the *target's* shardings, so
+            # restore is topology-robust: a ckpt saved on an N-device mesh
+            # loads on 1 device (and vice versa)
+            restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+            return ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(
+                    item=target, restore_args=restore_args))
         return ckptr.restore(path)
 
 
