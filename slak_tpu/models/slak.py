@@ -246,8 +246,7 @@ def _downsample_forward(x, p, idx):
         w = p["conv"]["w"]
         x = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(4, 4), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = x + p["conv"]["b"].astype(x.dtype)
         x = layer_norm(x, p["norm"]["scale"], p["norm"]["bias"])
     else:
@@ -255,8 +254,7 @@ def _downsample_forward(x, p, idx):
         w = p["conv"]["w"]
         x = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(2, 2), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = x + p["conv"]["b"].astype(x.dtype)
     return x
 

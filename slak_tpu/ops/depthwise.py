@@ -45,6 +45,9 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
     assert x.shape[-1] == c, f"channel mismatch {x.shape} vs {w.shape}"
     # HWIO with I=1 (each group has one input channel)
     rhs = w.reshape(kh, kw, 1, c)
+    # NB: no preferred_element_type here — a f32 accumulator dtype breaks the
+    # autodiff transpose when x is bf16 (f32 cotangent vs bf16 operand), and
+    # TPU MXU convs accumulate bf16 in f32 internally regardless.
     out = lax.conv_general_dilated(
         x,
         rhs.astype(x.dtype),
@@ -52,9 +55,8 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
         padding=_same_pad(kh, kw),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
+    return out
 
 
 def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
