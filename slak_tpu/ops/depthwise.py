@@ -61,10 +61,17 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
 
 def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
                      impl: str = "auto") -> Array:
-    """Public depthwise conv. impl in {'auto', 'xla', 'pallas'}."""
-    if impl == "pallas" or (impl == "auto" and _pallas_ok(x, w)):
+    """Public depthwise conv. impl in {'auto', 'xla', 'mxu', 'pallas'}.
+
+    'auto' picks the banded-matmul MXU path for large kernels on TPU
+    (see :mod:`slak_tpu.ops.dwconv_mxu`) and XLA's native lowering
+    otherwise."""
+    if impl == "pallas":
         from slak_tpu.ops.pallas_dwconv import depthwise_conv2d_pallas
         out = depthwise_conv2d_pallas(x, w)
+    elif impl == "mxu" or (impl == "auto" and _mxu_ok(x, w)):
+        from slak_tpu.ops.dwconv_mxu import depthwise_conv2d_mxu
+        out = depthwise_conv2d_mxu(x, w)
     else:
         out = depthwise_conv2d_xla(x, w)
     if b is not None:
@@ -72,17 +79,20 @@ def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
     return out
 
 
-def _pallas_ok(x: Array, w: Array) -> bool:
-    """Whether the Pallas fast path supports this shape on this backend."""
+def _on_tpu() -> bool:
     try:
-        dev = jax.devices()[0].platform
+        return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
-    if dev != "tpu":
-        return False
-    kh, kw, c = w.shape
-    # stick to odd kernels (same-size output) — all SLaK configs are odd
-    return (kh % 2 == 1) and (kw % 2 == 1)
+
+
+def _mxu_ok(x: Array, w: Array) -> bool:
+    # Measured full-model on v5e: the per-call banded-matmul path loses to
+    # XLA's native lowering (NHWC->C-major relayout per call dominates), so
+    # 'auto' stays on XLA; the fused per-block C-major path (lk_fused) is
+    # selected at the model level instead. impl='mxu' remains available
+    # explicitly.
+    return False
 
 
 # ---------------------------------------------------------------------------
@@ -112,15 +122,9 @@ def large_kernel_conv(
         scales = [None] * n
     if biases is None:
         biases = [None] * n
-    use_pallas = impl == "pallas" or (
-        impl == "auto" and all(_pallas_ok(x, w) for w in weights))
-    if use_pallas:
-        from slak_tpu.ops.pallas_dwconv import fused_branch_conv_pallas
-        return fused_branch_conv_pallas(x, list(weights), list(scales),
-                                        list(biases))
     out = None
     for w, s, b in zip(weights, scales, biases):
-        y = depthwise_conv2d_xla(x, w)
+        y = depthwise_conv2d(x, w, impl=impl)
         if s is not None:
             y = y * s.astype(y.dtype)
         if b is not None:

@@ -67,3 +67,42 @@ def test_large_kernel_conv_fuses_branches(rng):
                for wi, s, b in zip(ws, scales, biases))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+# --- MXU (banded-matmul) path ------------------------------------------------
+
+from slak_tpu.ops.dwconv_mxu import depthwise_conv2d_mxu, mxu_supported
+
+
+@pytest.mark.parametrize("kh,kw", [(13, 5), (5, 13), (51, 5), (5, 51),
+                                   (9, 9), (61, 5)])
+def test_mxu_path_matches_xla(rng, kh, kw):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((kh, kw, 8), dtype=np.float32) * 0.1)
+    ref = depthwise_conv2d_xla(x, wt)
+    got = depthwise_conv2d_mxu(x, wt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mxu_path_grads_match_xla(rng):
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 4), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((13, 5, 4), dtype=np.float32) * 0.1)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) ** 2)
+
+    gx1, gw1 = jax.grad(loss(depthwise_conv2d_xla), (0, 1))(x, wt)
+    gx2, gw2 = jax.grad(loss(depthwise_conv2d_mxu), (0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_mxu_supported_rules():
+    assert mxu_supported((51, 5, 8))
+    assert mxu_supported((5, 51, 8))
+    assert not mxu_supported((5, 5, 8))    # small stays native
+    assert not mxu_supported((7, 7, 8))
+    assert not mxu_supported((4, 4, 8))    # even kernels unsupported
