@@ -226,3 +226,70 @@ def adam_momentum(opt_state: Dict[str, Any]) -> Any:
     return jax.tree_util.tree_map(
         lambda m, v: m / (jnp.sqrt(v) + 1e-8),
         opt_state["mu"], opt_state["nu"])
+
+
+# ---------------------------------------------------------------------------
+# Adan (Adaptive Nesterov) — the fork-added optimizer the vendored timm
+# registers (timm1/optim/adan.py, registered at timm1/optim/optim_factory.py
+# :290-292). Semantics cloned from that implementation (arXiv 2208.06677).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class AdanConfig:
+    betas: Tuple[float, float, float] = (0.98, 0.92, 0.99)
+    eps: float = 1e-8
+    no_prox: bool = False
+
+
+def adan_init(params: Any) -> Dict[str, Any]:
+    zeros = lambda p: jnp.zeros(p.shape, jnp.float32)
+    return {
+        "m": jax.tree_util.tree_map(zeros, params),       # exp_avg
+        "v": jax.tree_util.tree_map(zeros, params),       # exp_avg_diff
+        "n": jax.tree_util.tree_map(zeros, params),       # exp_avg_sq
+        "pre_grad": jax.tree_util.tree_map(zeros, params),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def adan_update(grads, opt_state, params, lr, weight_decay, wd_mask,
+                lr_scale, cfg: AdanConfig = AdanConfig()):
+    """One Adan step (timm1/optim/adan.py:75-124). On the first step
+    pre_grad is seeded with the incoming grad (grad_diff = 0)."""
+    b1, b2, b3 = cfg.betas
+    count = opt_state["count"] + 1
+    cf = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** cf
+    bc2 = 1.0 - b2 ** cf
+    bc3 = 1.0 - b3 ** cf
+    first = (count == 1)
+
+    def upd(p, g, m, v, n, pg, wd_on, scale):
+        g = g.astype(jnp.float32)
+        pg = jnp.where(first, g, pg)
+        gd = g - pg
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * gd
+        u = g + b2 * gd
+        n = b3 * n + (1 - b3) * jnp.square(u)
+        denom = jnp.sqrt(n) / jnp.sqrt(bc3) + cfg.eps
+        step = (m / bc1 + b2 * v / bc2) / denom
+        lr_g = lr * scale
+        p32 = p.astype(jnp.float32)
+        if cfg.no_prox:
+            p32 = p32 * (1.0 - lr_g * weight_decay * wd_on) - lr_g * step
+        else:
+            p32 = (p32 - lr_g * step) / (1.0 + lr_g * weight_decay * wd_on)
+        return p32.astype(p.dtype), m, v, n, g
+
+    flat_p, treedef = jax.tree_util.tree_flatten(params)
+    lists = [treedef.flatten_up_to(t) for t in
+             (grads, opt_state["m"], opt_state["v"], opt_state["n"],
+              opt_state["pre_grad"], wd_mask, lr_scale)]
+    outs = [upd(p, *vals) for p, *vals in zip(flat_p, *lists)]
+    unf = lambda i: jax.tree_util.tree_unflatten(treedef,
+                                                 [o[i] for o in outs])
+    new_state = {"m": unf(1), "v": unf(2), "n": unf(3), "pre_grad": unf(4),
+                 "count": count}
+    return unf(0), new_state, global_grad_norm(grads)
