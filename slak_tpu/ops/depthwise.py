@@ -69,9 +69,12 @@ def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
     if impl == "pallas":
         from slak_tpu.ops.pallas_dwconv import depthwise_conv2d_pallas
         out = depthwise_conv2d_pallas(x, w)
-    elif impl == "mxu" or (impl == "auto" and _mxu_ok(x, w)):
+    elif impl == "mxu":
         from slak_tpu.ops.dwconv_mxu import depthwise_conv2d_mxu
         out = depthwise_conv2d_mxu(x, w)
+    elif impl == "grouped" or (impl == "auto" and _grouped_ok(x, w)):
+        from slak_tpu.ops.dwconv_grouped import depthwise_conv2d_grouped
+        out = depthwise_conv2d_grouped(x, w)
     else:
         out = depthwise_conv2d_xla(x, w)
     if b is not None:
@@ -86,13 +89,13 @@ def _on_tpu() -> bool:
         return False
 
 
-def _mxu_ok(x: Array, w: Array) -> bool:
-    # Measured full-model on v5e: the per-call banded-matmul path loses to
-    # XLA's native lowering (NHWC->C-major relayout per call dominates), so
-    # 'auto' stays on XLA; the fused per-block C-major path (lk_fused) is
-    # selected at the model level instead. impl='mxu' remains available
-    # explicitly.
-    return False
+def _grouped_ok(x: Array, w: Array) -> bool:
+    # Measured on v5e (see dwconv_grouped docstring): the block-diagonal
+    # grouped-conv path beats XLA's native depthwise lowering for the large
+    # SLaK kernels; the banded-matmul ('mxu') and Pallas tap-loop paths were
+    # both measured slower at big maps and stay opt-in.
+    kh, kw, _ = w.shape
+    return _on_tpu() and max(kh, kw) > 7 and kh % 2 == 1 and kw % 2 == 1
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +125,37 @@ def large_kernel_conv(
         scales = [None] * n
     if biases is None:
         biases = [None] * n
+
+    use_grouped = impl == "grouped" or (
+        impl == "auto" and any(_grouped_ok(x, w) for w in weights))
+    if use_grouped:
+        # pad channels ONCE for all branches (per-call padding costs a full
+        # activation copy per branch — measured to eat most of the MXU win)
+        from slak_tpu.ops.dwconv_grouped import (depthwise_conv2d_grouped,
+                                                 pick_group, _round_up)
+        c = x.shape[-1]
+        g = max(pick_group(w.shape[0], w.shape[1], c) for w in weights
+                if max(w.shape[0], w.shape[1]) > 7)
+        cp = _round_up(c, g)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c))) \
+            if cp != c else x
+        out = None
+        for w, s, b in zip(weights, scales, biases):
+            wp = jnp.pad(w, ((0, 0), (0, 0), (0, cp - c))) if cp != c else w
+            kh, kw, _ = w.shape
+            if max(kh, kw) > 7:
+                y = depthwise_conv2d_grouped(xp, wp, group=g)
+            else:
+                y = depthwise_conv2d_xla(xp, wp)
+            if s is not None:
+                y = y * jnp.pad(s, (0, cp - c)).astype(y.dtype) \
+                    if cp != c else y * s.astype(y.dtype)
+            if b is not None:
+                y = y + jnp.pad(b, (0, cp - c)).astype(y.dtype) \
+                    if cp != c else y + b.astype(y.dtype)
+            out = y if out is None else out + y
+        return out[..., :c]
+
     out = None
     for w, s, b in zip(weights, scales, biases):
         y = depthwise_conv2d(x, w, impl=impl)

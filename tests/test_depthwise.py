@@ -106,3 +106,37 @@ def test_mxu_supported_rules():
     assert not mxu_supported((5, 5, 8))    # small stays native
     assert not mxu_supported((7, 7, 8))
     assert not mxu_supported((4, 4, 8))    # even kernels unsupported
+
+
+# --- grouped (block-diagonal MXU) path ---------------------------------------
+
+from slak_tpu.ops.dwconv_grouped import depthwise_conv2d_grouped
+
+
+@pytest.mark.parametrize("kh,kw,c", [(13, 5, 8), (5, 13, 24), (51, 5, 124),
+                                     (9, 9, 40)])
+def test_grouped_path_matches_xla(rng, kh, kw, c):
+    """Includes C not divisible by the group width (124, 24, 40)."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, c), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((kh, kw, c), dtype=np.float32) * 0.1)
+    ref = depthwise_conv2d_xla(x, wt)
+    got = depthwise_conv2d_grouped(x, wt, group=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_path_grads_match_xla(rng):
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 12), dtype=np.float32))
+    wt = jnp.asarray(rng.standard_normal((13, 5, 12), dtype=np.float32) * 0.1)
+
+    def loss(f):
+        return lambda x, w: jnp.sum(f(x, w) ** 2)
+
+    gx1, gw1 = jax.grad(loss(depthwise_conv2d_xla), (0, 1))(x, wt)
+    gx2, gw2 = jax.grad(
+        loss(lambda x, w: depthwise_conv2d_grouped(x, w, group=8)),
+        (0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(gx1),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw2), np.asarray(gw1),
+                               rtol=1e-4, atol=1e-3)
