@@ -28,6 +28,29 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 DEFAULT_CROP_PCT = 0.875
 
 
+def sample_rrc_box(w: int, h: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+    """torchvision RandomResizedCrop box sampling (10 attempts, center
+    fallback). Returns (left, top, cw, ch)."""
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * random.uniform(*scale)
+        aspect = math.exp(random.uniform(*log_ratio))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            return (random.randint(0, w - cw), random.randint(0, h - ch),
+                    cw, ch)
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        ch, cw = h, int(round(h * ratio[1]))
+    else:
+        cw, ch = w, h
+    return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+
 def random_resized_crop(img: Image.Image, size: int,
                         scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
                         ) -> Image.Image:
@@ -94,12 +117,19 @@ def normalize(arr: np.ndarray) -> np.ndarray:
 
 
 class TrainTransform:
-    """PIL image -> normalized float32 (H, W, 3)."""
+    """PIL image -> normalized float32 (H, W, 3).
+
+    With ``use_native`` (default) the crop+bicubic-resample+flip+normalize
+    chain runs fused in the C++ host library (``native/slak_host.cpp``);
+    RandAugment/PIL ops stay on uint8 in between. Falls back to PIL when
+    the native library is unavailable.
+    """
 
     def __init__(self, size: int = 224, hflip: float = 0.5,
                  auto_augment: Optional[str] = "rand-m9-mstd0.5-inc1",
                  color_jitter_amount: Optional[float] = 0.4,
-                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 use_native: bool = True):
         self.size = size
         self.hflip = hflip
         self.aa = rand_augment_from_config(auto_augment) \
@@ -108,12 +138,23 @@ class TrainTransform:
         self.cj = color_jitter_amount if (color_jitter_amount
                                           and not auto_augment) else None
         self.scale, self.ratio = scale, ratio
+        self.use_native = use_native
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if img.mode != "RGB":
             img = img.convert("RGB")
+        flip = bool(self.hflip and random.random() < self.hflip)
+
+        if self.use_native and self.aa is None and self.cj is None:
+            from slak_tpu.data import native
+            box = sample_rrc_box(*img.size, self.scale, self.ratio)
+            out = native.rrc_normalize(np.asarray(img), box, self.size, flip,
+                                       IMAGENET_MEAN, IMAGENET_STD)
+            if out is not None:
+                return out
+
         img = random_resized_crop(img, self.size, self.scale, self.ratio)
-        if self.hflip and random.random() < self.hflip:
+        if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.aa is not None:
             img = self.aa(img)

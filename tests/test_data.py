@@ -155,3 +155,32 @@ def test_device_prefetch_synthetic():
         assert xb.shape == (8, 24, 24, 3)
         n += 1
     assert n == 2
+
+
+def test_native_host_pipeline(rng):
+    """C++ fused crop+resize+flip+normalize vs the PIL reference path."""
+    from slak_tpu.data import native
+    from slak_tpu.data.transforms import normalize as np_normalize
+    if native.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    img = rng.integers(0, 256, (120, 160, 3), np.uint8)
+    box = (10, 20, 100, 80)
+    got = native.rrc_normalize(img, box, 64, False,
+                               np.asarray(IMAGENET_MEAN),
+                               np.asarray(IMAGENET_STD))
+    pil = Image.fromarray(img).resize(
+        (64, 64), Image.BICUBIC,
+        box=(box[0], box[1], box[0] + box[2], box[1] + box[3]))
+    want = np_normalize(np.asarray(pil))
+    # different bicubic boundary conventions -> close, not identical
+    assert np.abs(got - want).mean() < 0.05
+    # flip is an exact mirror
+    gf = native.rrc_normalize(img, box, 64, True,
+                              np.asarray(IMAGENET_MEAN),
+                              np.asarray(IMAGENET_STD))
+    np.testing.assert_allclose(gf, got[:, ::-1], rtol=1e-5, atol=1e-5)
+    # TrainTransform native path produces the right shape/dtype
+    t = TrainTransform(size=32, auto_augment=None, color_jitter_amount=None,
+                       use_native=True)
+    out = t(Image.fromarray(img))
+    assert out.shape == (32, 32, 3) and out.dtype == np.float32
