@@ -126,6 +126,29 @@ def large_kernel_conv(
     if biases is None:
         biases = [None] * n
 
+    # banded Pallas path: the decomposed rectangular pair at K >= 31
+    # (measured fastest on v5e: 1.15-1.7x over the grouped-MXU path;
+    # see ops/pallas_banded.py)
+    kh0, kw0 = weights[0].shape[0], weights[0].shape[1]
+    is_pair = (len(weights) >= 2 and kh0 >= 31 and kw0 < kh0
+               and weights[1].shape[0] == kw0 and weights[1].shape[1] == kh0
+               # batch rides the 128-lane axis: Mosaic requires full lanes
+               and x.shape[0] % 128 == 0)
+    if is_pair and (impl == "banded" or (impl == "auto" and _on_tpu())):
+        from slak_tpu.ops.pallas_banded import lk_pair_banded
+        y = lk_pair_banded(x, weights[0], weights[1], scales[0], scales[1])
+        for b in biases[:2]:
+            if b is not None:
+                y = y + b.astype(y.dtype)
+        for w, s, b in zip(weights[2:], scales[2:], biases[2:]):
+            z = depthwise_conv2d_xla(x, w)
+            if s is not None:
+                z = z * s.astype(z.dtype)
+            if b is not None:
+                z = z + b.astype(z.dtype)
+            y = y + z
+        return y
+
     use_grouped = impl == "grouped" or (
         impl == "auto" and any(_grouped_ok(x, w) for w in weights))
     if use_grouped:

@@ -149,3 +149,51 @@ class TensorboardLogger:
     def flush(self):
         if self.writer is not None:
             self.writer.flush()
+
+
+class WandbLogger:
+    """utils.py:195-249 equivalent: step-metric definitions, config capture,
+    optional checkpoint artifacts. No-op when wandb isn't installed."""
+
+    def __init__(self, args=None, project: Optional[str] = None):
+        try:
+            import wandb
+            self._wandb = wandb
+        except ImportError:
+            self._wandb = None
+            return
+        if self._wandb.run is None:
+            self._wandb.init(project=project or "slak-tpu",
+                             config=vars(args) if args else None)
+
+    @property
+    def enabled(self):
+        return self._wandb is not None
+
+    def set_steps(self):
+        if not self.enabled:
+            return
+        self._wandb.define_metric("epoch")
+        self._wandb.define_metric("Global Train/*", step_metric="epoch")
+        self._wandb.define_metric("Global Test/*", step_metric="epoch")
+
+    def log_epoch_metrics(self, metrics: Dict, commit: bool = True):
+        if not self.enabled:
+            return
+        out = {}
+        for k, v in metrics.items():
+            if "train" in k:
+                out["Global Train/" + k] = v
+            elif "test" in k:
+                out["Global Test/" + k] = v
+            else:
+                out[k] = v
+        self._wandb.log(out, commit=commit)
+
+    def log_checkpoints(self, output_dir: str):
+        if not self.enabled:
+            return
+        art = self._wandb.Artifact(self._wandb.run.id + "_model",
+                                   type="model")
+        art.add_dir(output_dir)
+        self._wandb.log_artifact(art)

@@ -1,0 +1,89 @@
+"""Teacher-zoo tests (ViT / Swin / ResNet-D) + the banded Pallas kernel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slak_tpu.models.resnet import ResNet, ResNetConfig
+from slak_tpu.models.swin import Swin, SwinConfig
+from slak_tpu.models.vit import ViT, ViTConfig
+from slak_tpu.ops.depthwise import depthwise_conv2d_xla
+from slak_tpu.ops.pallas_banded import lk_pair_banded
+
+
+def test_vit_teacher(rng):
+    m = ViT(ViTConfig(embed_dim=32, num_heads=4, depth=2, img_size=64,
+                      num_classes=10))
+    p = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    logits, feat = m.apply(p, x)
+    assert logits.shape == (2, 10) and feat.shape == (2, 4, 4, 32)
+    lt, ft = m.teacher_apply(p)(x)
+    np.testing.assert_allclose(np.asarray(lt), np.asarray(logits),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_swin_teacher(rng):
+    m = Swin(SwinConfig(embed_dim=16, depths=(1, 2, 2, 1),
+                        num_heads=(2, 2, 4, 4), window=4, img_size=128,
+                        num_classes=10))
+    p = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 3)).astype(np.float32))
+    logits, feat = m.apply(p, x)
+    assert logits.shape == (2, 10) and feat.shape == (2, 4, 4, 128)
+    # shifted windows: shifting the input shifts the output consistently
+    # (just a smoke check that the mask path runs and is finite)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_resnet_teacher(rng):
+    m = ResNet(ResNetConfig(layers=(1, 1, 1, 1), width=16, num_classes=10))
+    p, s = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    logits, feat = m.apply(p, s, x)
+    assert logits.shape == (2, 10)
+    assert feat.shape == (2, 2, 2, 512)
+
+
+def test_kd_with_vit_teacher(rng):
+    """ViT teacher drives the KD engine end to end."""
+    from slak_tpu.kd import KDConfig, init_kd_params, kd_opt_init, \
+        make_kd_train_step
+    from slak_tpu.models import slak as M
+    from slak_tpu.train import TrainConfig, create_train_state
+
+    teacher = ViT(ViTConfig(embed_dim=32, num_heads=4, depth=1, img_size=32,
+                            num_classes=10))
+    tp = teacher.init(jax.random.PRNGKey(0))
+    student = M.SLaK(M.SLaKConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 16),
+                                  kernel_size=(7, 7, 7, 7, 100), decom=False,
+                                  branch_bn=False, num_classes=10,
+                                  conv_impl="xla"))
+    tcfg = TrainConfig()
+    state = create_train_state(jax.random.PRNGKey(1), student, tcfg)
+    kd_cfg = KDConfig(distill_type="FD+KD")
+    kd_params = init_kd_params(jax.random.PRNGKey(2), kd_cfg, 16, 32)
+    kd_opt = kd_opt_init(kd_params)
+    lr = jnp.asarray(np.full(10, 1e-3, np.float32))
+    step = jax.jit(make_kd_train_step(student, teacher.teacher_apply(tp),
+                                      kd_cfg, tcfg, None, lr, None))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, 2))
+    state, kd_params, kd_opt, m = step(state, kd_params, kd_opt, (x, y),
+                                       jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+@pytest.mark.parametrize("k", [13, 31])
+def test_banded_pallas_pair(rng, k):
+    """Interpret-mode correctness of the banded MXU kernel vs XLA."""
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 8)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((k, 5, 8)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((5, k, 8)).astype(np.float32) * 0.1)
+    s1 = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    s2 = jnp.asarray(rng.standard_normal(8).astype(np.float32))
+    ref = depthwise_conv2d_xla(x, w1) * s1 + depthwise_conv2d_xla(x, w2) * s2
+    got = lk_pair_banded(x, w1, w2, s1, s2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
