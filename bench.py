@@ -21,7 +21,7 @@ import numpy as np
 
 A100_IMG_PER_SEC = 1000.0  # documented estimate of the reference on A100
 
-BATCH = 128
+BATCH = 256
 WARMUP = 2
 ITERS = 10
 

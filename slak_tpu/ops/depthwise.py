@@ -132,8 +132,9 @@ def large_kernel_conv(
     kh0, kw0 = weights[0].shape[0], weights[0].shape[1]
     is_pair = (len(weights) >= 2 and kh0 >= 31 and kw0 < kh0
                and weights[1].shape[0] == kw0 and weights[1].shape[1] == kh0
-               # batch rides the 128-lane axis: Mosaic requires full lanes
-               and x.shape[0] % 128 == 0)
+               # batch rides the 128-lane axis: Mosaic requires full lanes,
+               # and the per-program VMEM footprint caps the batch at 256
+               and x.shape[0] % 128 == 0 and x.shape[0] <= 256)
     if is_pair and (impl == "banded" or (impl == "auto" and _on_tpu())):
         from slak_tpu.ops.pallas_banded import lk_pair_banded
         y = lk_pair_banded(x, weights[0], weights[1], scales[0], scales[1])

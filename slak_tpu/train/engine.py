@@ -107,6 +107,7 @@ def make_train_step(
     lr_schedule: Array,          # per-iteration LR array (device-resident)
     wd_schedule: Optional[Array],
     adamw_cfg: Optional[AdamWConfig] = None,
+    pmean_axis: Optional[str] = None,
 ):
     """Build the jittable train-step function.
 
@@ -115,6 +116,12 @@ def make_train_step(
     where images is (update_freq * B, H, W, C) — micro-batching happens
     inside via lax.scan — and targets are soft (N, num_classes) when mixup
     is on, else int labels.
+
+    ``pmean_axis``: set when the step runs under ``shard_map`` over a data
+    axis (see :func:`slak_tpu.parallel.syncbn.make_syncbn_train_step`) —
+    grads/metrics are pmean'd across shards (the DDP all-reduce), and the
+    model's BN can use the same axis for SyncBN-faithful batch statistics
+    (reference ``models/SLaK.py:24-28``).
     """
     acfg = adamw_cfg or AdamWConfig(clip_grad=train_cfg.clip_grad)
 
@@ -170,6 +177,11 @@ def make_train_step(
             (loss, model_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.model_state,
                                        images, targets, rng)
+
+        if pmean_axis is not None:
+            # DDP grad all-reduce under shard_map (implicit under plain jit)
+            grads = jax.lax.pmean(grads, pmean_axis)
+            loss = jax.lax.pmean(loss, pmean_axis)
 
         # --- optimizer step -------------------------------------------------
         params, opt_state, gnorm = adamw_update(
