@@ -68,7 +68,7 @@ def main(args):
     mesh = make_mesh(args.n_devices)
     n_dev = mesh.devices.size
 
-    # teacher ------------------------------------------------------------
+    # teacher zoo dispatch (main_KD.py:413-509) ---------------------------
     if args.model.startswith("vit") or args.model.startswith("deit"):
         from slak_tpu.models import vit as V
         teacher = getattr(V, args.model)(num_classes=args.nb_classes,
@@ -76,6 +76,26 @@ def main(args):
         tparams = teacher.init(jax.random.PRNGKey(0))
         teacher_apply = teacher.teacher_apply(tparams)
         teacher_channels = teacher.cfg.embed_dim
+    elif args.model.startswith("swin"):
+        from slak_tpu.models import swin as SW
+        teacher = SW.swin_tiny_patch4_window7_224(
+            num_classes=args.nb_classes, img_size=args.input_size)
+        tparams = teacher.init(jax.random.PRNGKey(0))
+        teacher_apply = teacher.teacher_apply(tparams)
+        teacher_channels = teacher.cfg.embed_dim * 8
+    elif args.model.startswith("cswin"):
+        from slak_tpu.models import cswin as CW
+        teacher = getattr(CW, args.model)(num_classes=args.nb_classes,
+                                          img_size=args.input_size)
+        tparams = teacher.init(jax.random.PRNGKey(0))
+        teacher_apply = teacher.teacher_apply(tparams)
+        teacher_channels = teacher.cfg.embed_dim * 8
+    elif args.model.startswith("resnet"):
+        from slak_tpu.models import resnet as RN
+        teacher = getattr(RN, args.model)(num_classes=args.nb_classes)
+        tp_, ts_ = teacher.init(jax.random.PRNGKey(0))
+        teacher_apply = teacher.teacher_apply(tp_, ts_)
+        teacher_channels = teacher.cfg.width * 8 * teacher.cfg.expansion
     else:
         teacher = create_model(
             args.model, kernel_size=tuple(args.teacher_kernel_size),

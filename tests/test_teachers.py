@@ -87,3 +87,15 @@ def test_banded_pallas_pair(rng, k):
     got = lk_pair_banded(x, w1, w2, s1, s2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_cswin_teacher(rng):
+    from slak_tpu.models.cswin import CSWin, CSWinConfig
+    m = CSWin(CSWinConfig(embed_dim=16, depths=(1, 1, 2, 1),
+                          split_sizes=(1, 2, 4, 4), num_heads=(2, 2, 4, 4),
+                          img_size=128, num_classes=10))
+    p = m.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(rng.standard_normal((2, 128, 128, 3)).astype(np.float32))
+    logits, feat = m.apply(p, x)
+    assert logits.shape == (2, 10) and feat.shape == (2, 4, 4, 128)
+    assert bool(jnp.isfinite(logits).all())
