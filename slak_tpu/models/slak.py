@@ -185,7 +185,11 @@ def init(rng: jax.Array, cfg: SLaKConfig) -> Tuple[Params, Params]:
 
 def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
     """conv(+BN) branch. Returns (y, new_branch_state)."""
-    y = depthwise_conv2d(x, p["w"], impl=cfg.conv_impl)
+    # train-mode 'auto' stays on XLA: the grouped-MXU path's block-diagonal
+    # wgrad costs g x the FLOPs and measured 3x slower end-to-end on v5e
+    # (129 vs 382 img/s train step); the MXU paths are inference wins.
+    impl = "xla" if (train and cfg.conv_impl == "auto") else cfg.conv_impl
+    y = depthwise_conv2d(x, p["w"], impl=impl)
     new_s = dict(s)
     if "bn" in p:
         y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
