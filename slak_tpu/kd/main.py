@@ -96,6 +96,13 @@ def main(args):
         tp_, ts_ = teacher.init(jax.random.PRNGKey(0))
         teacher_apply = teacher.teacher_apply(tp_, ts_)
         teacher_channels = teacher.cfg.width * 8 * teacher.cfg.expansion
+    elif args.model.startswith(("mobilenet", "efficientnet",
+                                "tf_efficientnet")):
+        from slak_tpu.models import mobile as MB
+        teacher = getattr(MB, args.model)(num_classes=args.nb_classes)
+        tp_, ts_ = teacher.init(jax.random.PRNGKey(0))
+        teacher_apply = teacher.teacher_apply(tp_, ts_)
+        teacher_channels = teacher.cfg.blocks[-1][1]
     else:
         teacher = create_model(
             args.model, kernel_size=tuple(args.teacher_kernel_size),

@@ -152,6 +152,9 @@ def build_model(args):
 
 
 def evaluate(eval_step, params, model_state, loader, mesh=None):
+    """evaluate() equivalent incl. the reference's cross-process metric
+    sync (``MetricLogger.synchronize_between_processes``, utils.py:43-54):
+    weighted sums are all-reduced over hosts before normalizing."""
     from slak_tpu.data.loader import device_prefetch
     tot = {"loss": 0.0, "acc1": 0.0, "acc5": 0.0, "n": 0.0}
     for batch in device_prefetch(iter(loader), mesh):
@@ -160,6 +163,12 @@ def evaluate(eval_step, params, model_state, loader, mesh=None):
         for k in ("loss", "acc1", "acc5"):
             tot[k] += float(m[k]) * n
         tot["n"] += n
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        sums = multihost_utils.process_allgather(
+            np.asarray([tot["loss"], tot["acc1"], tot["acc5"], tot["n"]]))
+        s = np.sum(sums, axis=0)
+        tot = {"loss": s[0], "acc1": s[1], "acc5": s[2], "n": s[3]}
     n = max(tot.pop("n"), 1.0)
     return {k: v / n for k, v in tot.items()}
 

@@ -99,3 +99,16 @@ def test_cswin_teacher(rng):
     logits, feat = m.apply(p, x)
     assert logits.shape == (2, 10) and feat.shape == (2, 4, 4, 128)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_mobile_teachers(rng):
+    from slak_tpu.models.mobile import (efficientnet_b0,
+                                        mobilenetv3_large_100)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+    for mk in (mobilenetv3_large_100, efficientnet_b0):
+        m = mk(num_classes=10)
+        p, s = m.init(jax.random.PRNGKey(0))
+        logits, feat = m.apply(p, s, x)
+        assert logits.shape == (1, 10)
+        assert bool(jnp.isfinite(logits).all())
+        m.teacher_apply(p, s)(x)
