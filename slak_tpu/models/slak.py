@@ -189,7 +189,8 @@ def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
     # wgrad costs g x the FLOPs and measured 3x slower end-to-end on v5e
     # (129 vs 382 img/s train step); the MXU paths are inference wins.
     impl = "xla" if (train and cfg.conv_impl == "auto") else cfg.conv_impl
-    y = depthwise_conv2d(x, p["w"], impl=impl)
+    # conv bias only in bn-less variants (official ConvNeXt dwconv)
+    y = depthwise_conv2d(x, p["w"], b=p.get("b"), impl=impl)
     new_s = dict(s)
     if "bn" in p:
         y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
@@ -346,7 +347,7 @@ def merge_lk(p, s, stage_kernel: int):
             w = w * mult
             b = add
         else:
-            b = jnp.zeros((w.shape[-1],), jnp.float32)
+            b = p[name].get("b", jnp.zeros((w.shape[-1],), jnp.float32))
         w = _pad_center_2d(w, k, k)
         eq_w = w if eq_w is None else eq_w + w
         eq_b = b if eq_b is None else eq_b + b

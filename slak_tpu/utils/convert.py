@@ -94,6 +94,19 @@ def convert_state_dict(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
                 d["scale" if wb == "weight" else "bias"] = v
             continue
 
+        # official-ConvNeXt naming (reference convnext.py / facebook ckpts):
+        # stages.i.j.dwconv.{weight,bias} -> a bias-carrying origin branch
+        m = re.match(r"stages\.(\d+)\.(\d+)\.dwconv\.(weight|bias)$", key)
+        if m:
+            i, j, wb = int(m.group(1)), int(m.group(2)), m.group(3)
+            b = blk(i, j).setdefault("lk", {}).setdefault("origin", {})
+            blk_state(i, j)["lk"].setdefault("origin", {})
+            if wb == "weight":
+                b["w"] = v[:, 0].transpose(1, 2, 0)
+            else:
+                b["b"] = v
+            continue
+
         m = re.match(
             r"stages\.(\d+)\.(\d+)\.large_kernel\.(LoRA1|LoRA2|small_conv|"
             r"lkb_origin)\.(conv|bn)\.(\w+)$", key)

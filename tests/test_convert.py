@@ -228,3 +228,43 @@ def test_orbax_roundtrip(tmp_path, rng):
     for n in st.mask_state.masks:
         np.testing.assert_array_equal(np.asarray(restored.mask_state.masks[n]),
                                       np.asarray(st.mask_state.masks[n]))
+
+
+class TorchConvNeXtBlock(nn.Module):
+    """Official ConvNeXt naming: dwconv/norm/pwconv1/pwconv2/gamma."""
+
+    def __init__(self, c):
+        super().__init__()
+        self.dwconv = nn.Conv2d(c, c, 7, 1, 3, groups=c)  # has bias
+        self.norm = TorchLN(c)
+        self.pwconv1 = nn.Linear(c, 4 * c)
+        self.pwconv2 = nn.Linear(4 * c, c)
+        self.gamma = nn.Parameter(1e-6 * torch.ones(c))
+
+    def forward(self, x):
+        inp = x
+        x = self.dwconv(x)
+        x = x.permute(0, 2, 3, 1)
+        x = self.pwconv2(F.gelu(self.pwconv1(self.norm(x)))) * self.gamma
+        return inp + x.permute(0, 3, 1, 2)
+
+
+def test_official_convnext_naming(rng):
+    """facebook/ConvNeXt checkpoints use `dwconv` with a conv bias."""
+    depths, dims = (1, 1, 1, 1), (8, 16, 24, 32)
+    tm = TorchSLaK(depths, dims, (7, 7, 7, 7, 100), 10, decom=False,
+                   bn=False).eval()
+    # swap blocks for official-naming blocks
+    for i in range(4):
+        tm.stages[i] = nn.Sequential(TorchConvNeXtBlock(dims[i]))
+    randomize(tm, rng)
+    x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    params, state = convert_state_dict(tm.state_dict())
+    cfg = M.SLaKConfig(depths=depths, dims=dims,
+                       kernel_size=(7, 7, 7, 7, 100), decom=False,
+                       branch_bn=False, num_classes=10, conv_impl="xla")
+    got, _ = M.apply(params, state, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                     cfg=cfg, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
