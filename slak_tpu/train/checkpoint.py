@@ -89,9 +89,33 @@ def auto_load(output_dir: str, target: Any) -> tuple[Any, int]:
     """Resume from the latest checkpoint if present.
 
     Returns (train_state, start_epoch); (target, 0) when nothing found.
+    Tolerates structure drift between the checkpoint and the current run
+    (e.g. the ckpt carries EMA / mask state the current flags don't, or
+    vice versa): mismatched subtrees keep the target's fresh value.
     """
     path = latest_checkpoint(output_dir)
     if path is None:
         return target, 0
     epoch = int(path.rsplit("-", 1)[1])
-    return restore_pytree(path, target), epoch + 1
+    try:
+        return restore_pytree(path, target), epoch + 1
+    except ValueError:
+        if not hasattr(target, "tree_flatten"):
+            raise
+        import jax.numpy as jnp
+        raw = restore_pytree(path)  # saved structure, no target
+        raw_children = list(raw) if isinstance(raw, (list, tuple)) else [raw]
+        out_kids = []
+        for t_kid, r_kid in zip(target.tree_flatten()[0], raw_children):
+            restored = t_kid
+            if t_kid is not None and r_kid is not None:
+                td = jax.tree_util.tree_structure(t_kid)
+                if td == jax.tree_util.tree_structure(r_kid):
+                    leaves = [
+                        jnp.asarray(r).astype(t.dtype)
+                        if hasattr(t, "dtype") else r
+                        for r, t in zip(jax.tree_util.tree_leaves(r_kid),
+                                        jax.tree_util.tree_leaves(t_kid))]
+                    restored = jax.tree_util.tree_unflatten(td, leaves)
+            out_kids.append(restored)
+        return type(target).tree_unflatten(None, tuple(out_kids)), epoch + 1

@@ -226,6 +226,11 @@ def main(args):
     total_steps = args.epochs * niter_per_ep
     print(f"{len(ds_train)} train / {len(ds_val)} val images, "
           f"{niter_per_ep} steps/epoch, global batch {global_batch}")
+    if niter_per_ep == 0:
+        raise ValueError(
+            f"dataset ({len(ds_train)} images) is smaller than one global "
+            f"batch ({global_batch} = batch_size x devices x update_freq); "
+            f"reduce --batch_size / --update_freq or use --n_devices")
 
     # configs --------------------------------------------------------------
     mask_cfg = None

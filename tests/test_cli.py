@@ -1,0 +1,59 @@
+"""CLI smoke tests: the training and KD entry points run end-to-end on
+synthetic data (tiny model, one/two epochs), covering arg parsing, the
+epoch loop, checkpointing, resume, eval mode, and the launcher."""
+
+import argparse
+import os
+
+import pytest
+
+
+BASE = ["--model", "SLaK_debug", "--Decom", "true",
+        "--kernel_size", "13", "11", "9", "7", "5",
+        "--data_set", "synthetic", "--synthetic_len", "32",
+        "--input_size", "32", "--batch_size", "8",
+        "--epochs", "1", "--warmup_epochs", "0",
+        "--use_bf16", "false", "--nb_classes", "10",
+        "--num_workers", "2", "--drop_path", "0.0", "--n_devices", "1"]
+
+
+def test_train_cli_sparse_roundtrip(tmp_path):
+    from slak_tpu.train.main import get_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    out = str(tmp_path / "run")
+    args = p.parse_args(BASE + ["--sparse", "--sparse_init", "snip",
+                                "-u", "2", "--model_ema", "true",
+                                "--output_dir", out])
+    main(args)
+    assert os.path.exists(os.path.join(out, "checkpoint-0"))
+    assert os.path.exists(os.path.join(out, "log.txt"))
+
+    # resume + continue one more epoch
+    args2 = p.parse_args(BASE + ["--sparse", "--sparse_init", "snip",
+                                 "-u", "2", "--model_ema", "true",
+                                 "--epochs", "2", "--output_dir", out])
+    main(args2)
+    # eval-only from the checkpoint
+    stats = main(p.parse_args(BASE + ["--sparse", "--sparse_init", "snip",
+                                      "--output_dir", out,
+                                      "--eval", "true"]))
+    assert 0.0 <= stats["acc1"] <= 1.0
+
+
+def test_kd_cli_smoke(tmp_path):
+    from slak_tpu.kd.main import get_kd_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_kd_args_parser()])
+    args = p.parse_args(BASE + [
+        "--model", "SLaK_debug",
+        "--teacher_kernel_size", "13", "11", "9", "7", "5",
+        "--teacher_width_factor", "1.0",
+        "--model_s", "SLaK_debug", "--distill_type", "KD",
+        "--output_dir", ""])
+    res = main(args)
+    assert "max_accuracy" in res
+
+
+def test_launcher_single_host():
+    from slak_tpu.train.launch import main
+    res = main(["--"] + BASE + ["--eval", "true"])
+    assert res is not None
