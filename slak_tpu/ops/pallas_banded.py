@@ -111,5 +111,8 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
                   ((0, 0), (ph, ph), (pw, pw), (0, 0)))      # (C, Wp, Hp, N)
     y2 = dwconv_banded_cmajor(xc2, jnp.transpose(w2, (1, 0, 2)),
                               interpret=interpret)           # (C, W, H, N)
-    y = y1 + jnp.transpose(y2, (0, 2, 1, 3))
-    return jnp.transpose(y, (3, 1, 2, 0))                    # NHWC
+    # both branch outputs transpose straight to NHWC inside one add-fusion
+    # (transposing y2 into y1's layout first would cost an extra full-tensor
+    # round trip)
+    return (jnp.transpose(y1, (3, 1, 2, 0))
+            + jnp.transpose(y2, (3, 2, 1, 0)))               # NHWC
