@@ -10,8 +10,6 @@ reference (its "FLOPs" are MACs: README tables say SLaK-T = 5.0G).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -94,5 +94,33 @@ def main(argv=None):
         print(f"heatmap saved to {args.heatmap}")
 
 
+def compare_panels(sources, titles, save_path):
+    """Multi-panel ERF comparison figure — the equivalent of the
+    reference's ``erf/erf_slak51_convnext7_convnext31.py`` 3-panel plot.
+
+    ``sources``: paths to .npy contribution matrices (from ``main``)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from slak_tpu.analysis.erf import analyze_erf
+
+    n = len(sources)
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 6))
+    if n == 1:
+        axes = [axes]
+    for ax, src, title in zip(axes, sources, titles):
+        data = analyze_erf(np.load(src) + 1e-9)["normalized"]
+        im = ax.imshow(data, cmap="RdYlGn", vmin=0, vmax=1)
+        ax.set_title(title, fontsize=16)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.colorbar(im, ax=axes, fraction=0.02, pad=0.02)
+    fig.savefig(save_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    print(f"comparison figure saved to {save_path}")
+
+
 if __name__ == "__main__":
     main()

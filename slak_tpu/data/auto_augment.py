@@ -16,8 +16,6 @@ This is a re-implementation from the behavioral spec, PIL-native, not a copy.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Tuple
-
 import numpy as np
 from PIL import Image, ImageEnhance, ImageOps
 

@@ -18,8 +18,6 @@ on the host loader workers; on TPU this is a handful of fused VPU ops.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

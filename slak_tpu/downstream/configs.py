@@ -15,7 +15,7 @@ Numbers are lifted from the reference configs:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 from slak_tpu.downstream.segmentation import UperNetConfig
 from slak_tpu.models.backbone import BackboneConfig

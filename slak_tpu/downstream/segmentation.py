@@ -13,7 +13,7 @@ per-stage norms, sparse-eval masks). Everything here is functional NHWC.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

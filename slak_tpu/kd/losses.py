@@ -7,7 +7,7 @@ KD zoo: ``NKDLoss`` (``engine_kd.py:18-63``), vanilla KD (``engine_kd.py:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

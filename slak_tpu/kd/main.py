@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from slak_tpu.train.main import build_model, evaluate, get_args_parser, str2bool
+from slak_tpu.train.main import evaluate, get_args_parser, str2bool
 
 
 def get_kd_args_parser():

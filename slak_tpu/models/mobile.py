@@ -11,7 +11,7 @@ swish activations. Eval-mode BN (teachers are frozen).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

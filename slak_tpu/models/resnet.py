@@ -10,7 +10,7 @@ downsample shortcut. Functional NHWC, BN via our torch-parity batch_norm.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

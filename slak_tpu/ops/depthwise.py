@@ -23,7 +23,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence, Tuple
 
 import jax

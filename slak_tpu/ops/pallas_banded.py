@@ -22,8 +22,6 @@ weights each call (cheap gather; weights change every step).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -21,7 +21,7 @@ key, so every replica computes identical masks.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

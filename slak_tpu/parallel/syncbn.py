@@ -12,11 +12,8 @@ global-view sharding propagation.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from slak_tpu.parallel.mesh import DATA_AXIS

@@ -23,7 +23,7 @@ improvement, not a divergence in results (masks see fp32 weights).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ schedule arrays, so no host sync per step.
 from __future__ import annotations
 
 import dataclasses
-import math
 import re
 from typing import Any, Dict, Optional, Tuple
 
