@@ -68,12 +68,19 @@ def main(args):
     mesh = make_mesh(args.n_devices)
     n_dev = mesh.devices.size
 
-    # teacher zoo dispatch (main_KD.py:413-509) ---------------------------
+    # teacher zoo dispatch (main_KD.py:413-509); --teacher_ckpt loads a
+    # timm-pretrained torch state_dict via utils/convert_teachers.py
+    from slak_tpu.utils.convert_teachers import load_teacher_checkpoint
     if args.model.startswith("vit") or args.model.startswith("deit"):
         from slak_tpu.models import vit as V
         teacher = getattr(V, args.model)(num_classes=args.nb_classes,
                                          img_size=args.input_size)
         tparams = teacher.init(jax.random.PRNGKey(0))
+        if args.teacher_ckpt:
+            tparams = jax.tree_util.tree_map(
+                jnp.asarray, load_teacher_checkpoint(args.teacher_ckpt,
+                                                     args.model))
+            print(f"loaded teacher from {args.teacher_ckpt}")
         teacher_apply = teacher.teacher_apply(tparams)
         teacher_channels = teacher.cfg.embed_dim
     elif args.model.startswith("swin"):
@@ -81,6 +88,11 @@ def main(args):
         teacher = SW.swin_tiny_patch4_window7_224(
             num_classes=args.nb_classes, img_size=args.input_size)
         tparams = teacher.init(jax.random.PRNGKey(0))
+        if args.teacher_ckpt:
+            tparams = jax.tree_util.tree_map(
+                jnp.asarray, load_teacher_checkpoint(args.teacher_ckpt,
+                                                     args.model))
+            print(f"loaded teacher from {args.teacher_ckpt}")
         teacher_apply = teacher.teacher_apply(tparams)
         teacher_channels = teacher.cfg.embed_dim * 8
     elif args.model.startswith("cswin"):
@@ -94,6 +106,11 @@ def main(args):
         from slak_tpu.models import resnet as RN
         teacher = getattr(RN, args.model)(num_classes=args.nb_classes)
         tp_, ts_ = teacher.init(jax.random.PRNGKey(0))
+        if args.teacher_ckpt:
+            tp_, ts_ = load_teacher_checkpoint(args.teacher_ckpt, args.model)
+            tp_ = jax.tree_util.tree_map(jnp.asarray, tp_)
+            ts_ = jax.tree_util.tree_map(jnp.asarray, ts_)
+            print(f"loaded teacher from {args.teacher_ckpt}")
         teacher_apply = teacher.teacher_apply(tp_, ts_)
         teacher_channels = teacher.cfg.width * 8 * teacher.cfg.expansion
     elif args.model.startswith(("mobilenet", "efficientnet",

@@ -20,6 +20,8 @@ from slak_tpu.models.layers import trunc_normal
 
 Array = jax.Array
 
+STEM_STRIDES = (2, 1, 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class ResNetConfig:
@@ -64,12 +66,12 @@ def init(rng: Array, cfg: ResNetConfig) -> Tuple[Dict, Dict]:
                                   next(keys), (head_in, cfg.num_classes)),
                                   "b": jnp.zeros((cfg.num_classes,))}}
     state: Dict[str, Any] = {"stem": [], "stages": []}
-    # deep stem: 3x3 s2 (3->32), 3x3 (32->32), 3x3 (32->64)
-    for (cin, cout, stride) in ((3, w // 2, 2), (w // 2, w // 2, 1),
-                                (w // 2, w, 1)):
+    # deep stem: 3x3 s2 (3->32), 3x3 (32->32), 3x3 (32->64); strides are
+    # static (STEM_STRIDES) — params hold arrays only
+    for (cin, cout) in ((3, w // 2), (w // 2, w // 2), (w // 2, w)):
         cp = _conv_init(next(keys), 3, 3, cin, cout)
         bp, bs = _bn_init(cout)
-        params["stem"].append({"conv": cp, "bn": bp, "stride": stride})
+        params["stem"].append({"conv": cp, "bn": bp})
         state["stem"].append({"bn": bs})
 
     cin = w
@@ -89,8 +91,13 @@ def init(rng: Array, cfg: ResNetConfig) -> Tuple[Dict, Dict]:
 
 
 def _conv(x, p, stride=1):
+    # torch-style symmetric k//2 padding (XLA "SAME" pads (0,1) for even
+    # overhang at stride 2, which shifts the grid vs torch and breaks
+    # converted-checkpoint logit parity)
+    kh, kw = p["w"].shape[:2]
     return jax.lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (stride, stride), "SAME",
+        x, p["w"].astype(x.dtype), (stride, stride),
+        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
@@ -103,12 +110,13 @@ def _bn(x, p, s):
 def apply(params: Dict, state: Dict, x: Array, *, cfg: ResNetConfig
           ) -> Tuple[Array, Array]:
     """Eval-mode forward (teachers are frozen). Returns (logits, feature)."""
-    for sp, ss in zip(params["stem"], state["stem"]):
-        x = jax.nn.relu(_bn(_conv(x, sp["conv"], sp["stride"]), sp["bn"],
+    for sp, ss, stride in zip(params["stem"], state["stem"], STEM_STRIDES):
+        x = jax.nn.relu(_bn(_conv(x, sp["conv"], stride), sp["bn"],
                             ss["bn"]))
-    # 3x3 max pool stride 2
+    # 3x3 max pool stride 2, torch pad=1 both sides
     x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 3, 3, 1),
-                              (1, 2, 2, 1), "SAME")
+                              (1, 2, 2, 1),
+                              ((0, 0), (1, 1), (1, 1), (0, 0)))
 
     for i, (blocks_p, blocks_s) in enumerate(zip(params["stages"],
                                                  state["stages"])):
@@ -122,7 +130,9 @@ def apply(params: Dict, state: Dict, x: Array, *, cfg: ResNetConfig
                                 bs["conv2_bn"]))
             y = _bn(_conv(y, bp["conv3"]), bp["conv3_bn"], bs["conv3_bn"])
             if "down" in bp:
-                # ResNet-D: avg-pool then 1x1 (no strided 1x1)
+                # ResNet-D: avg-pool then 1x1 (no strided 1x1). All strided
+                # shortcuts see even maps at 224 input, so SAME == torch's
+                # AvgPool2d(2, 2, ceil_mode=True) here.
                 if st > 1:
                     shortcut = jax.lax.reduce_window(
                         shortcut, 0.0, jax.lax.add, (1, st, st, 1),

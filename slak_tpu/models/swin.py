@@ -157,22 +157,22 @@ def apply(params: Dict, x: Array, *, cfg: SwinConfig, train: bool = False,
     cur = 0
     for i, blocks in enumerate(params["stages"]):
         for j, bp in enumerate(blocks):
-            block_rng = None
+            attn_rng = mlp_rng = None
             if rng is not None and train:
-                rng, block_rng = jax.random.split(rng)
+                rng, attn_rng, mlp_rng = jax.random.split(rng, 3)
             shift = cfg.window // 2 if (j % 2 == 1
                                         and x.shape[1] > cfg.window) else 0
             shortcut = x
             y = layer_norm(x, bp["norm1"]["scale"], bp["norm1"]["bias"])
             y = _window_attn(y, bp, cfg.num_heads[i], cfg.window, shift)
-            x = shortcut + drop_path(y, dp[cur + j], block_rng, train)
+            x = shortcut + drop_path(y, dp[cur + j], attn_rng, train)
             shortcut = x
             y = layer_norm(x, bp["norm2"]["scale"], bp["norm2"]["bias"])
             y = jnp.dot(y, bp["fc1"]["w"].astype(y.dtype)) + bp["fc1"]["b"]
             y = gelu(y)
             y = (jnp.dot(y, bp["fc2"]["w"].astype(y.dtype))
                  + bp["fc2"]["b"]).astype(x.dtype)
-            x = shortcut + drop_path(y, dp[cur + j], block_rng, train)
+            x = shortcut + drop_path(y, dp[cur + j], mlp_rng, train)
         cur += cfg.depths[i]
         if i < 3:
             # patch merging 2x2

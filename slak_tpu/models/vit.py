@@ -110,18 +110,18 @@ def apply(params: Dict, x: Array, *, cfg: ViTConfig, train: bool = False,
     dp = [cfg.drop_path_rate * i / max(cfg.depth - 1, 1)
           for i in range(cfg.depth)]
     for i, bp in enumerate(params["blocks"]):
-        block_rng = None
+        attn_rng = mlp_rng = None
         if rng is not None and train:
-            rng, block_rng = jax.random.split(rng)
+            rng, attn_rng, mlp_rng = jax.random.split(rng, 3)
         h = layer_norm(tok, bp["norm1"]["scale"], bp["norm1"]["bias"])
         h = _attn(h, bp, cfg.num_heads)
-        tok = tok + drop_path(h, dp[i], block_rng, train)
+        tok = tok + drop_path(h, dp[i], attn_rng, train)
         h = layer_norm(tok, bp["norm2"]["scale"], bp["norm2"]["bias"])
         h = jnp.dot(h, bp["fc1"]["w"].astype(h.dtype)) + bp["fc1"]["b"]
         h = gelu(h)
         h = (jnp.dot(h, bp["fc2"]["w"].astype(h.dtype))
              + bp["fc2"]["b"]).astype(tok.dtype)
-        tok = tok + drop_path(h, dp[i], block_rng, train)
+        tok = tok + drop_path(h, dp[i], mlp_rng, train)
 
     tok = layer_norm(tok, params["norm"]["scale"], params["norm"]["bias"])
     logits = (jnp.dot(tok[:, 0], params["head"]["w"].astype(tok.dtype))

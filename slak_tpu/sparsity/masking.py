@@ -59,7 +59,8 @@ class MaskConfig:
     sparse_init: str = "snip"        # uniform | ERK | snip | resume
     prune_mode: str = "magnitude"    # magnitude | SET | global_magnitude
     growth_mode: str = "random"      # random | gradient | momentum | mix |
-    #                                  random_unfired | momentum_neuron
+    #                    random_unfired | momentum_neuron |
+    #                    global_momentum_growth (funcs.py:374-392 registry)
     redistribution_mode: str = "none"  # parity only; never called in the
     #                                    reference's truncate_weights
     prune_rate: float = 0.5
@@ -372,6 +373,57 @@ def random_unfired_growth(rng: Array, new_mask: Array, fired: Array,
     return jnp.where(regrowth <= num_unfired, grown_a, grown_b)
 
 
+def global_magnitude_prune(masks: MaskTree, weights: Dict[str, Array],
+                           prune_rate: Array) -> MaskTree:
+    """funcs.py:116-148 (``global_magnitude``) with exact counts: kill the
+    ``ceil(prune_rate * total_nonzero)`` smallest-|w| weights across ALL
+    masked layers at once.
+
+    The reference tunes a global threshold by iterative search within a
+    tolerance band; the fixed-shape cross-layer rank (concatenate, rank,
+    scatter back) realizes the same semantics exactly — masked positions
+    hold w == 0, so they always rank below live weights, mirroring the
+    reference's ``mask = |w| > threshold`` rebuild."""
+    names = list(masks)
+    all_w = jnp.concatenate(
+        [jnp.abs(weights[n].astype(jnp.float32)).ravel() for n in names])
+    total_nnz = sum(jnp.sum(masks[n]) for n in names)
+    zeros = all_w.size - total_nnz
+    num_remove = jnp.ceil(prune_rate * total_nnz)
+    kill = _ranks_ascending(all_w).astype(jnp.float32) < zeros + num_remove
+    out: MaskTree = {}
+    off = 0
+    for n in names:
+        m = masks[n]
+        k = kill[off:off + m.size].reshape(m.shape)
+        pruned = jnp.where(k, 0.0, m)
+        out[n] = jnp.where(num_remove == 0,
+                           (weights[n] != 0.0).astype(m.dtype), pruned)
+        off += m.size
+    return out
+
+
+def global_momentum_growth(masks: MaskTree, scores: Dict[str, Array],
+                           regrowth: Array) -> MaskTree:
+    """funcs.py:330-372 (``global_momentum_growth``) with exact counts:
+    grow the ``regrowth`` largest-|momentum| currently-masked positions
+    across ALL layers (the reference's threshold search, made exact by a
+    cross-layer rank)."""
+    names = list(masks)
+    all_s = jnp.concatenate(
+        [(jnp.abs(scores[n].astype(jnp.float32))
+          * (masks[n] == 0).astype(jnp.float32)).ravel() for n in names])
+    grow = _ranks_ascending(-all_s).astype(jnp.float32) < regrowth
+    out: MaskTree = {}
+    off = 0
+    for n in names:
+        m = masks[n]
+        g = grow[off:off + m.size].reshape(m.shape)
+        out[n] = jnp.maximum(m, g.astype(m.dtype))
+        off += m.size
+    return out
+
+
 def mix_growth(rng: Array, new_mask: Array, score: Array, regrowth: Array,
                mix: float) -> Array:
     """funcs.py:207-224: gradient top-k for mix fraction, random the rest."""
@@ -427,18 +479,39 @@ def truncate_weights(
         if momentum is not None else None
 
     rng = state.rng
+
+    # prune (per-layer or cross-layer global)
+    pruned_map: MaskTree = {}
+    if cfg.prune_mode == "global_magnitude":
+        pruned_map = global_magnitude_prune(
+            state.masks, {n: weights[n] for n in state.masks}, prune_rate)
+    else:
+        for name, mask in state.masks.items():
+            w = weights[name].astype(jnp.float32)
+            if cfg.prune_mode == "magnitude":
+                pruned_map[name] = magnitude_prune(mask, w, prune_rate)
+            elif cfg.prune_mode == "SET":
+                pruned_map[name] = set_prune(mask, w, prune_rate)
+            else:
+                raise ValueError(f"unknown prune_mode {cfg.prune_mode!r}")
+
+    if cfg.growth_mode == "global_momentum_growth":
+        total_regrowth = jnp.floor(sum(
+            jnp.sum(state.masks[n]) - jnp.sum(pruned_map[n])
+            for n in state.masks))
+        new_masks = global_momentum_growth(
+            pruned_map, {n: mom_map[n] for n in pruned_map}, total_regrowth)
+        fired = {n: jnp.maximum(state.fired[n], new_masks[n])
+                 for n in new_masks}
+        new_state = MaskState(masks=new_masks, fired=fired,
+                              steps=state.steps, rng=rng)
+        return new_state, apply_mask_to_tree(params, new_masks)
+
     new_masks: MaskTree = {}
     for name, mask in state.masks.items():
         w = weights[name].astype(jnp.float32)
         nnz_before = jnp.sum(mask)
-
-        if cfg.prune_mode == "magnitude":
-            pruned = magnitude_prune(mask, w, prune_rate)
-        elif cfg.prune_mode == "SET":
-            pruned = set_prune(mask, w, prune_rate)
-        else:
-            raise ValueError(f"unknown prune_mode {cfg.prune_mode!r}")
-
+        pruned = pruned_map[name]
         regrowth = jnp.floor(nnz_before - jnp.sum(pruned))
 
         if cfg.growth_mode == "random":

@@ -1,0 +1,344 @@
+"""Teacher-converter logit parity: torch twins with timm parameter naming
+drive the state_dict converters end-to-end (same standard as
+tests/test_convert.py for SLaK). The twins re-derive the vendored timm
+architectures (reference ``timm1/models/{vision_transformer,
+swin_transformer,resnet}.py``) as test oracles — built from scratch."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from slak_tpu.utils.convert_teachers import (convert_resnet_state_dict,
+                                             convert_swin_state_dict,
+                                             convert_vit_state_dict)
+
+
+def _randomize(module, rng):
+    """Fill every param/buffer with random values so parity is meaningful."""
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.from_numpy(
+                rng.standard_normal(p.shape).astype(np.float32) * 0.05))
+        for name, b in module.named_buffers():
+            if name.endswith("running_var"):
+                b.copy_(torch.from_numpy(
+                    0.5 + rng.random(b.shape).astype(np.float32)))
+            elif name.endswith("running_mean"):
+                b.copy_(torch.from_numpy(
+                    rng.standard_normal(b.shape).astype(np.float32) * 0.1))
+
+
+# ---------------------------------------------------------------------------
+# ViT twin (timm1/models/vision_transformer.py naming)
+# ---------------------------------------------------------------------------
+
+
+class _TorchViTBlock(nn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(d, 3 * d)
+        self.attn.proj = nn.Linear(d, d)
+        self.norm2 = nn.LayerNorm(d, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(d, 4 * d)
+        self.mlp.fc2 = nn.Linear(4 * d, d)
+        self.heads = heads
+
+    def forward(self, x):
+        b, t, d = x.shape
+        h = self.norm1(x)
+        qkv = self.attn.qkv(h).reshape(b, t, 3, self.heads, d // self.heads)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(d // self.heads)
+        h = (att.softmax(-1) @ v).transpose(1, 2).reshape(b, t, d)
+        x = x + self.attn.proj(h)
+        h = self.norm2(x)
+        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(h)))
+        return x
+
+
+class _TorchViT(nn.Module):
+    def __init__(self, img=32, patch=16, d=16, depth=2, heads=2, classes=10):
+        super().__init__()
+        grid = img // patch
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, d, patch, patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, d))
+        self.pos_embed = nn.Parameter(torch.zeros(1, grid * grid + 1, d))
+        self.blocks = nn.ModuleList(
+            [_TorchViTBlock(d, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(d, eps=1e-6)
+        self.head = nn.Linear(d, classes)
+
+    def forward(self, x):
+        b = x.shape[0]
+        t = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls_token.expand(b, -1, -1), t], 1)
+        t = t + self.pos_embed
+        for blk in self.blocks:
+            t = blk(t)
+        t = self.norm(t)
+        return self.head(t[:, 0])
+
+
+def test_vit_converter_logit_parity(rng):
+    from slak_tpu.models.vit import ViT, ViTConfig
+    twin = _TorchViT().eval()
+    _randomize(twin, rng)
+    x = rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_vit_state_dict(twin.state_dict()))
+    model = ViT(ViTConfig(img_size=32, patch_size=16, embed_dim=16, depth=2,
+                          num_heads=2, num_classes=10))
+    got, feat = model.apply(params, jnp.asarray(x))
+    assert feat.shape == (2, 2, 2, 16)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Swin twin (timm1/models/swin_transformer.py naming)
+# ---------------------------------------------------------------------------
+
+
+def _rel_index(ws):
+    coords = torch.stack(torch.meshgrid(
+        torch.arange(ws), torch.arange(ws), indexing="ij")).flatten(1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    return rel.sum(-1)  # (ws^2, ws^2)
+
+
+def _win_part(x, ws):
+    b, h, w, c = x.shape
+    x = x.view(b, h // ws, ws, w // ws, ws, c)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c)
+
+
+def _win_rev(xw, ws, h, w):
+    b = xw.shape[0] // (h // ws * w // ws)
+    x = xw.view(b, h // ws, w // ws, ws, ws, -1)
+    return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+class _TorchSwinBlock(nn.Module):
+    def __init__(self, d, heads, ws, shift):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(d)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(d, 3 * d)
+        self.attn.proj = nn.Linear(d, d)
+        self.attn.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * ws - 1) ** 2, heads))
+        self.norm2 = nn.LayerNorm(d)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(d, 4 * d)
+        self.mlp.fc2 = nn.Linear(4 * d, d)
+        self.heads, self.ws, self.shift = heads, ws, shift
+
+    def forward(self, x):  # (B, H, W, C)
+        b, h, w, c = x.shape
+        ws, s = self.ws, self.shift if x.shape[1] > self.ws else 0
+        shortcut = x
+        x = self.norm1(x)
+        if s:
+            x = torch.roll(x, (-s, -s), (1, 2))
+        xw = _win_part(x, ws)                       # (nW*B, ws², C)
+        bw, t, _ = xw.shape
+        hd = c // self.heads
+        qkv = self.attn.qkv(xw).reshape(bw, t, 3, self.heads, hd)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = (q @ k.transpose(-2, -1)) / math.sqrt(hd)
+        bias = self.attn.relative_position_bias_table[_rel_index(ws)]
+        att = att + bias.permute(2, 0, 1)[None]
+        if s:
+            img_mask = torch.zeros(1, h, w, 1)
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -s), slice(-s, None)):
+                for wsl in (slice(0, -ws), slice(-ws, -s),
+                            slice(-s, None)):
+                    img_mask[:, hs, wsl] = cnt
+                    cnt += 1
+            mw = _win_part(img_mask, ws).squeeze(-1)   # (nW, ws²)
+            am = mw[:, None] - mw[:, :, None]
+            am = am.masked_fill(am != 0, -100.0)
+            nw = am.shape[0]
+            att = att.view(bw // nw, nw, self.heads, t, t) + am[None, :,
+                                                                None]
+            att = att.view(bw, self.heads, t, t)
+        xw = (att.softmax(-1) @ v).transpose(1, 2).reshape(bw, t, c)
+        xw = self.attn.proj(xw)
+        x = _win_rev(xw, ws, h, w)
+        if s:
+            x = torch.roll(x, (s, s), (1, 2))
+        x = shortcut + x
+        x = x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+        return x
+
+
+class _TorchPatchMerge(nn.Module):
+    def __init__(self, d):
+        super().__init__()
+        self.norm = nn.LayerNorm(4 * d)
+        self.reduction = nn.Linear(4 * d, 2 * d, bias=False)
+
+    def forward(self, x):  # (B, H, W, C) — timm concat order
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = torch.cat([x0, x1, x2, x3], -1)
+        return self.reduction(self.norm(x))
+
+
+class _TorchSwin(nn.Module):
+    def __init__(self, img=224, patch=4, d=8, depths=(2, 2, 2, 2),
+                 heads=(1, 2, 4, 8), ws=7, classes=10):
+        super().__init__()
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, d, patch, patch)
+        self.patch_embed.norm = nn.LayerNorm(d)
+        self.layers = nn.ModuleList()
+        for i, depth in enumerate(depths):
+            dim = d * 2 ** i
+            layer = nn.Module()
+            layer.blocks = nn.ModuleList([
+                _TorchSwinBlock(dim, heads[i], ws,
+                                ws // 2 if j % 2 == 1 else 0)
+                for j in range(depth)])
+            if i < 3:
+                layer.downsample = _TorchPatchMerge(dim)
+            self.layers.append(layer)
+        self.norm = nn.LayerNorm(d * 8)
+        self.head = nn.Linear(d * 8, classes)
+
+    def forward(self, x):
+        x = self.patch_embed.proj(x).permute(0, 2, 3, 1)
+        x = self.patch_embed.norm(x)
+        for i, layer in enumerate(self.layers):
+            for blk in layer.blocks:
+                x = blk(x)
+            if i < 3:
+                x = layer.downsample(x)
+        x = self.norm(x)
+        return self.head(x.mean((1, 2)))
+
+
+def test_swin_converter_logit_parity(rng):
+    from slak_tpu.models.swin import Swin, SwinConfig
+    twin = _TorchSwin().eval()
+    _randomize(twin, rng)
+    x = rng.standard_normal((2, 224, 224, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_swin_state_dict(twin.state_dict()))
+    model = Swin(SwinConfig(embed_dim=8, depths=(2, 2, 2, 2),
+                            num_heads=(1, 2, 4, 8), num_classes=10))
+    got, feat = model.apply(params, jnp.asarray(x))
+    assert feat.shape == (2, 7, 7, 64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-D twin (timm1/models/resnet.py deep-stem + avg_down naming)
+# ---------------------------------------------------------------------------
+
+
+class _TorchBottleneckD(nn.Module):
+    def __init__(self, cin, planes, stride, expansion=4):
+        super().__init__()
+        cout = planes * expansion
+        self.conv1 = nn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if cin != cout or stride != 1:
+            pool = (nn.AvgPool2d(2, stride, ceil_mode=True,
+                                 count_include_pad=False)
+                    if stride > 1 else nn.Identity())
+            self.downsample = nn.Sequential(
+                pool, nn.Conv2d(cin, cout, 1, bias=False),
+                nn.BatchNorm2d(cout))
+
+    def forward(self, x):
+        sc = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = F.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return F.relu(sc + y)
+
+
+class _TorchResNetD(nn.Module):
+    def __init__(self, layers=(2, 2, 2, 2), w=16, classes=10):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(3, w // 2, 3, 2, 1, bias=False),
+            nn.BatchNorm2d(w // 2), nn.ReLU(),
+            nn.Conv2d(w // 2, w // 2, 3, 1, 1, bias=False),
+            nn.BatchNorm2d(w // 2), nn.ReLU(),
+            nn.Conv2d(w // 2, w, 3, 1, 1, bias=False))
+        self.bn1 = nn.BatchNorm2d(w)
+        cin = w
+        for i, depth in enumerate(layers):
+            planes = w * 2 ** i
+            blocks = []
+            for j in range(depth):
+                blocks.append(_TorchBottleneckD(
+                    cin, planes, (1 if i == 0 else 2) if j == 0 else 1))
+                cin = planes * 4
+            setattr(self, f"layer{i + 1}", nn.Sequential(*blocks))
+        self.fc = nn.Linear(cin, classes)
+
+    def forward(self, x):
+        x = F.relu(self.bn1(self.conv1(x)))
+        x = F.max_pool2d(x, 3, 2, 1)
+        for i in range(4):
+            x = getattr(self, f"layer{i + 1}")(x)
+        return self.fc(x.mean((2, 3)))
+
+
+def test_resnet_converter_logit_parity(rng):
+    from slak_tpu.models.resnet import ResNet, ResNetConfig
+    twin = _TorchResNetD().eval()
+    _randomize(twin, rng)
+    x = rng.standard_normal((2, 64, 64, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    p, s = convert_resnet_state_dict(twin.state_dict())
+    p = jax.tree_util.tree_map(jnp.asarray, p)
+    s = jax.tree_util.tree_map(jnp.asarray, s)
+    model = ResNet(ResNetConfig(layers=(2, 2, 2, 2), width=16,
+                                num_classes=10))
+    got, _ = model.apply(p, s, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+def test_load_teacher_checkpoint_roundtrip(rng, tmp_path):
+    """--teacher_ckpt end-to-end: torch.save -> load_teacher_checkpoint."""
+    from slak_tpu.utils.convert_teachers import load_teacher_checkpoint
+    twin = _TorchViT().eval()
+    _randomize(twin, rng)
+    path = str(tmp_path / "vit.pth")
+    torch.save({"model": twin.state_dict()}, path)
+    params = load_teacher_checkpoint(path, "vit_base_patch16_224")
+    assert params["blocks"][0]["qkv"]["w"].shape == (16, 48)
+    with pytest.raises(ValueError):
+        load_teacher_checkpoint(path, "unknown_model")

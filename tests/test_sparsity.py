@@ -227,3 +227,88 @@ def test_cosine_prune_rate_schedule():
         pytest.approx(0.005, abs=1e-6)
     mid = float(cosine_prune_rate(jnp.int32(t_max // 2), 0.5, t_max))
     assert 0.2 < mid < 0.3
+
+
+# --- global (cross-layer) modes ---------------------------------------------
+
+def ref_global_magnitude_prune(masks, weights, prune_rate):
+    """funcs.py:116-148 made exact: global kill-count by |w| rank."""
+    names = list(masks)
+    all_w = np.concatenate([np.abs(weights[n]).ravel() for n in names])
+    total_nnz = sum(masks[n].sum() for n in names)
+    zeros = all_w.size - total_nnz
+    num_remove = math.ceil(prune_rate * total_nnz)
+    idx = np.argsort(all_w, kind="stable")
+    kill = np.zeros(all_w.size, bool)
+    kill[idx[:int(zeros + num_remove)]] = True
+    out, off = {}, 0
+    for n in names:
+        m = masks[n]
+        k = kill[off:off + m.size].reshape(m.shape)
+        out[n] = np.where(k, 0.0, m).astype(np.float32)
+        off += m.size
+    return out
+
+
+def test_global_magnitude_prune_matches_numpy_port(rng):
+    from slak_tpu.sparsity.masking import global_magnitude_prune
+    masks, weights = {}, {}
+    for i, shape in enumerate([(16, 24), (7, 5, 12), (30, 30)]):
+        m = (rng.random(shape) < 0.6).astype(np.float32)
+        w = rng.standard_normal(shape).astype(np.float32) * m
+        masks[f"l{i}"], weights[f"l{i}"] = m, w
+    for pr in (0.0, 0.2, 0.7):
+        got = global_magnitude_prune(
+            {n: jnp.asarray(m) for n, m in masks.items()},
+            {n: jnp.asarray(w) for n, w in weights.items()},
+            jnp.float32(pr))
+        want = ref_global_magnitude_prune(masks, weights, pr)
+        for n in masks:
+            np.testing.assert_array_equal(np.asarray(got[n]), want[n])
+
+
+def test_global_momentum_growth_exact_count(rng):
+    from slak_tpu.sparsity.masking import global_momentum_growth
+    masks, scores = {}, {}
+    for i, shape in enumerate([(16, 24), (7, 5, 12)]):
+        masks[f"l{i}"] = (rng.random(shape) < 0.4).astype(np.float32)
+        scores[f"l{i}"] = rng.standard_normal(shape).astype(np.float32)
+    regrow = 37
+    got = global_momentum_growth(
+        {n: jnp.asarray(m) for n, m in masks.items()},
+        {n: jnp.asarray(s) for n, s in scores.items()},
+        jnp.float32(regrow))
+    added = sum(float(jnp.sum(got[n])) - masks[n].sum() for n in masks)
+    assert added == regrow
+    # grown positions are exactly the top-|score| masked slots
+    all_s = np.concatenate([(np.abs(scores[n]) * (masks[n] == 0)).ravel()
+                            for n in masks])
+    thr = np.sort(all_s)[-regrow]
+    for n in masks:
+        grown = (np.asarray(got[n]) == 1) & (masks[n] == 0)
+        assert np.all(np.abs(scores[n])[grown] >= thr)
+
+
+def test_truncate_weights_global_modes_preserve_nnz():
+    cfg, params, _ = tiny_model()
+    mc = MaskConfig(sparsity=0.5, sparse_init="uniform",
+                    prune_mode="global_magnitude",
+                    growth_mode="global_momentum_growth", prune_rate=0.3)
+    st = init_masks(jax.random.PRNGKey(1), params, mc)
+    params = apply_mask_to_tree(params, st.masks)
+    fake = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(np.random.default_rng(3).standard_normal(
+            p.shape).astype(np.float32)), params)
+    nnz_before = sum(float(jnp.sum(m)) for m in st.masks.values())
+
+    @jax.jit
+    def refresh(st, params, pr):
+        return truncate_weights(st, params, mc, pr, grads=fake,
+                                momentum=fake)
+
+    st2, new_params = refresh(st, params, jnp.float32(0.3))
+    nnz_after = sum(float(jnp.sum(m)) for m in st2.masks.values())
+    assert abs(nnz_after - nnz_before) <= 1.0  # exact-count global modes
+    sel = select_maskable(new_params, only_L=mc.only_L)
+    for n, m in st2.masks.items():
+        assert float(jnp.sum(jnp.abs(sel[n]) * (1 - m))) == 0.0
