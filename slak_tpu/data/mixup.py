@@ -4,9 +4,11 @@ the reference applies in the engine (``engine.py:49-50``; recipe:
 mixup 0.8, cutmix 1.0, switch_prob 0.5, label smoothing 0.1).
 
 TPU-first: mixing runs inside jit on the device batch (the reference mixes
-on-GPU too, but per-batch in Python). Batch mode only — 'pair'/'elem' modes
-exist in timm but the recipes never use them; we keep the flags for API
-parity and raise for unsupported modes.
+on-GPU too, but per-batch in Python). All three timm modes:
+  * 'batch': one (lam, use_cutmix) for the whole batch (mixup.py:140-157).
+  * 'elem': per-sample params, partner = flipped batch (mixup.py:158-175).
+  * 'pair': per-pair params shared by (i, N-1-i), boxes mirrored so both
+    partners swap the same region (mixup.py:176-194).
 """
 
 from __future__ import annotations
@@ -43,11 +45,13 @@ def one_hot(labels: Array, num_classes: int, on: float, off: float) -> Array:
 
 def mixup_target(labels: Array, num_classes: int, lam: Array,
                  smoothing: float) -> Array:
-    """timm mixup.py:22-27: lam * y + (1-lam) * y_flipped, smoothed."""
+    """timm mixup.py:22-27: lam * y + (1-lam) * y_flipped, smoothed.
+    ``lam`` is a scalar (batch mode) or per-sample (N,) (elem/pair)."""
     off = smoothing / num_classes
     on = 1.0 - smoothing + off
     y1 = one_hot(labels, num_classes, on, off)
     y2 = one_hot(jnp.flip(labels, 0), num_classes, on, off)
+    lam = jnp.reshape(lam, (-1, 1)) if jnp.ndim(lam) else lam
     return y1 * lam + y2 * (1.0 - lam)
 
 
@@ -68,15 +72,77 @@ def _rand_bbox(rng: Array, h: int, w: int, lam: Array
     return y1, y2, x1, x2
 
 
-def _beta(rng: Array, alpha: float) -> Array:
-    return jax.random.beta(rng, alpha, alpha)
+def _beta(rng: Array, alpha: float, shape=()) -> Array:
+    return jax.random.beta(rng, alpha, alpha, shape)
+
+
+def _mix_elem_or_pair(rng: Array, images: Array, labels: Array,
+                      cfg: MixupConfig) -> Tuple[Array, Array]:
+    """'elem' (timm mixup.py:158-175) and 'pair' (:176-194), vectorized:
+    per-sample (lam, use_cutmix, box) with partner j = N-1-i; 'pair' draws
+    params for the first half and mirrors them so both partners share one
+    lam and one box."""
+    n, h, w, _ = images.shape
+    half = n // 2
+    m = half if cfg.mode == "pair" else n
+    k_lam_m, k_lam_c, k_sw, k_ap, k_box = jax.random.split(rng, 5)
+
+    use_cutmix = jnp.logical_and(
+        cfg.cutmix_alpha > 0,
+        jnp.logical_or(cfg.mixup_alpha <= 0,
+                       jax.random.uniform(k_sw, (m,)) < cfg.switch_prob))
+    lam_m = _beta(k_lam_m, cfg.mixup_alpha, (m,)) if cfg.mixup_alpha > 0 \
+        else jnp.ones((m,))
+    lam_c = _beta(k_lam_c, cfg.cutmix_alpha, (m,)) if cfg.cutmix_alpha > 0 \
+        else jnp.ones((m,))
+    apply = jax.random.uniform(k_ap, (m,)) < cfg.prob
+
+    boxes = jax.vmap(lambda k, l: jnp.stack(_rand_bbox(k, h, w, l)))(
+        jax.random.split(k_box, m), lam_c)              # (m, 4)
+
+    if cfg.mode == "pair":
+        # mirror the first half's params onto the second half; odd tail
+        # (if any) keeps lam 1 (timm asserts even batches; we mask instead)
+        def full(v):
+            pad = n - 2 * half
+            return jnp.concatenate(
+                [v, jnp.zeros((pad,) + v.shape[1:], v.dtype),
+                 jnp.flip(v, 0)], 0)
+        use_cutmix, lam_m, lam_c = map(full, (use_cutmix, lam_m, lam_c))
+        apply = full(apply)
+        boxes = full(boxes)
+
+    flipped = jnp.flip(images, 0)
+    lamv = jnp.where(use_cutmix, 1.0, lam_m)
+    mixed_m = images * lamv[:, None, None, None] \
+        + flipped * (1.0 - lamv)[:, None, None, None]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)[None]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)[None]
+    y1, y2 = boxes[:, 0, None, None], boxes[:, 1, None, None]
+    x1, x2 = boxes[:, 2, None, None], boxes[:, 3, None, None]
+    in_box = ((rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2)
+              & use_cutmix[:, None, None])
+    mixed = jnp.where(in_box[..., None], flipped, mixed_m)
+    lam_corr = 1.0 - ((boxes[:, 1] - boxes[:, 0])
+                      * (boxes[:, 3] - boxes[:, 2])).astype(jnp.float32) \
+        / (h * w)
+    lam = jnp.where(use_cutmix, lam_corr, lam_m)
+    lam = jnp.where(apply, lam, 1.0)
+    mixed = jnp.where(apply[:, None, None, None], mixed, images)
+    targets = mixup_target(labels, cfg.num_classes, lam, cfg.label_smoothing)
+    return mixed.astype(images.dtype), targets
 
 
 def mixup_cutmix(rng: Array, images: Array, labels: Array,
                  cfg: MixupConfig) -> Tuple[Array, Array]:
-    """Batch-mode mix. images (N,H,W,C) float; labels (N,) int.
+    """Mixup/CutMix per cfg.mode. images (N,H,W,C) float; labels (N,) int.
 
     Returns (mixed_images, soft_targets (N, num_classes))."""
+    if cfg.mode in ("elem", "pair"):
+        return _mix_elem_or_pair(rng, images, labels, cfg)
+    if cfg.mode != "batch":
+        raise ValueError(f"unknown mixup mode {cfg.mode!r}")
     n, h, w, _ = images.shape
     k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
 

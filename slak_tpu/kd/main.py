@@ -193,7 +193,7 @@ def main(args):
 
     mixup_cfg = MixupConfig(
         mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
-        switch_prob=args.mixup_switch_prob,
+        switch_prob=args.mixup_switch_prob, mode=args.mixup_mode,
         label_smoothing=args.smoothing, num_classes=nb_classes)
     re_cfg = RandomErasingConfig(prob=args.reprob)
 

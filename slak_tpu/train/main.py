@@ -107,6 +107,8 @@ def get_args_parser():
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--mixup_prob", type=float, default=1.0)
     p.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    p.add_argument("--mixup_mode", type=str, default="batch",
+                   choices=["batch", "pair", "elem"])
     p.add_argument("--crop_pct", type=float, default=0.875)
 
     # dataset
@@ -133,6 +135,10 @@ def get_args_parser():
     p.add_argument("--n_devices", default=None, type=int)
     p.add_argument("--multi_host", type=str2bool, default=False)
     p.add_argument("--print_freq", default=200, type=int)
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="capture a jax.profiler trace of training steps "
+                        "into this directory (view with TensorBoard / "
+                        "xprof); profiles steps 10..20 of the first epoch")
     return p
 
 
@@ -301,6 +307,7 @@ def main(args):
     mixup_cfg = MixupConfig(
         mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
         prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
+        mode=args.mixup_mode,
         label_smoothing=args.smoothing, num_classes=nb_classes)
     re_cfg = RandomErasingConfig(prob=args.reprob, count=args.recount)
 
@@ -336,9 +343,21 @@ def main(args):
         logger.add_meter("lr", SmoothedValue(1, "{value:.6f}"))
         t_ep = time.time()
         n_img = 0
+        profiling = False
         for i, (x, y) in enumerate(logger.log_every(
                 device_prefetch(iter(dl_train), mesh), args.print_freq,
                 f"Epoch: [{epoch}]")):
+            # jax.profiler trace window: steps [10, 20) of the first epoch
+            # (past compile + warmup) -> xprof/TensorBoard-viewable dump
+            if args.profile_dir and epoch == start_epoch:
+                if i == 10:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                elif i == 20 and profiling:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {args.profile_dir}")
             k = jax.random.fold_in(jax.random.PRNGKey(args.seed),
                                    epoch * niter_per_ep + i)
             xa, t = augment(k, x, y)
@@ -350,6 +369,10 @@ def main(args):
                 log_writer.update(head="train", step=int(state.step),
                                   loss=float(metrics["loss"]),
                                   lr=float(metrics["lr"]))
+        if profiling:  # epoch shorter than the trace window
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
         ips = n_img / (time.time() - t_ep)
         print(f"epoch {epoch}: {ips:.1f} images/sec "
               f"({ips / n_dev:.1f}/chip)")

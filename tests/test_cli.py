@@ -57,3 +57,19 @@ def test_launcher_single_host():
     from slak_tpu.train.launch import main
     res = main(["--"] + BASE + ["--eval", "true"])
     assert res is not None
+
+
+def test_train_cli_profile_and_mixup_mode(tmp_path):
+    """--profile_dir captures a trace dir; --mixup_mode pair runs."""
+    from slak_tpu.train.main import get_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    prof = str(tmp_path / "trace")
+    # the trace window is steps [10, 20): give the epoch 24 steps
+    args = p.parse_args(BASE + ["--mixup_mode", "pair",
+                                "--synthetic_len", "192",
+                                "--profile_dir", prof])
+    main(args)
+    assert os.path.isdir(prof)
+    found = any(f.endswith((".pb", ".json.gz", ".xplane.pb"))
+                for _, _, fs in os.walk(prof) for f in fs)
+    assert found, "no profiler artifacts written"

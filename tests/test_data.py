@@ -184,3 +184,59 @@ def test_native_host_pipeline(rng):
                        use_native=True)
     out = t(Image.fromarray(img))
     assert out.shape == (32, 32, 3) and out.dtype == np.float32
+
+
+def _recover_lam(t, smoothing, num_classes, own, other):
+    floor = smoothing / num_classes
+    return float((t[own] - floor) / (1 - smoothing))
+
+
+def test_mixup_elem_mode_per_sample_lams():
+    """'elem': each sample has its own lam; mixed[i] is the convex combo of
+    x[i] and x[N-1-i] at exactly the lam encoded in its target."""
+    cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0, switch_prob=0.0,
+                      label_smoothing=0.0, num_classes=8, mode="elem")
+    n = 6
+    x = jnp.ones((n, 4, 4, 1)) * jnp.arange(n, dtype=jnp.float32
+                                            ).reshape(n, 1, 1, 1)
+    y = jnp.arange(n)
+    xm, tm = mixup_cutmix(jax.random.PRNGKey(7), x, y, cfg)
+    lams = [_recover_lam(np.asarray(tm[i]), 0.0, 8, i, n - 1 - i)
+            for i in range(n)]
+    assert len({round(l, 4) for l in lams}) > 1  # per-sample, not shared
+    for i in range(n):
+        want = lams[i] * i + (1 - lams[i]) * (n - 1 - i)
+        np.testing.assert_allclose(float(xm[i, 0, 0, 0]), want, atol=1e-4)
+
+
+def test_mixup_pair_mode_symmetric():
+    """'pair': partners (i, N-1-i) share one lam and one cutmix box."""
+    cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=1.0, switch_prob=1.0,
+                      label_smoothing=0.0, num_classes=8, mode="pair")
+    n = 6
+    x = jnp.ones((n, 16, 16, 1)) * jnp.arange(n, dtype=jnp.float32
+                                              ).reshape(n, 1, 1, 1)
+    y = jnp.arange(n)
+    xm, tm = mixup_cutmix(jax.random.PRNGKey(5), x, y, cfg)
+    xm = np.asarray(xm)
+    for i in range(n // 2):
+        j = n - 1 - i
+        li = _recover_lam(np.asarray(tm[i]), 0.0, 8, i, j)
+        lj = _recover_lam(np.asarray(tm[j]), 0.0, 8, j, i)
+        assert li == pytest.approx(lj, abs=1e-5)  # shared lam
+        # mirrored boxes: i's pasted region holds value j, j's holds i
+        box_i = xm[i] == j
+        box_j = xm[j] == i
+        np.testing.assert_array_equal(box_i, box_j)
+        assert box_i.mean() == pytest.approx(1 - li, abs=1e-5)
+
+
+def test_mixup_pair_odd_batch_middle_untouched():
+    cfg = MixupConfig(mixup_alpha=0.8, cutmix_alpha=0.0, switch_prob=0.0,
+                      label_smoothing=0.0, num_classes=8, mode="pair")
+    n = 5
+    x = jnp.ones((n, 4, 4, 1)) * jnp.arange(n, dtype=jnp.float32
+                                            ).reshape(n, 1, 1, 1)
+    xm, tm = mixup_cutmix(jax.random.PRNGKey(1), x, jnp.arange(n), cfg)
+    assert float(xm[2, 0, 0, 0]) == 2.0
+    assert float(tm[2, 2]) == pytest.approx(1.0)
