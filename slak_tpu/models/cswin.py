@@ -50,7 +50,10 @@ def _block_init(rng, dim):
     return {
         "norm1": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
         "qkv": _dense_init(next(keys), dim, 3 * dim),
-        "lepe": {"w": trunc_normal(next(keys), (3, 3, dim))},  # dw conv on V
+        # LePE: per-window depthwise 3x3 on V (reference cswin.py:84,96-106;
+        # nn.Conv2d has bias)
+        "lepe": {"w": trunc_normal(next(keys), (3, 3, dim)),
+                 "b": jnp.zeros((dim,), jnp.float32)},
         "proj": _dense_init(next(keys), dim, dim),
         "norm2": {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))},
         "fc1": _dense_init(next(keys), dim, 4 * dim),
@@ -81,8 +84,11 @@ def init(rng: Array, cfg: CSWinConfig) -> Dict[str, Any]:
     return p
 
 
-def _stripe_attn(q, k, v, lepe_w, heads: int, sh: int, sw: int):
-    """Attention within (sh, sw) stripes. q/k/v: (N, H, W, C)."""
+def _stripe_attn(q, k, v, lepe_p, heads: int, sh: int, sw: int):
+    """Attention within (sh, sw) stripes. q/k/v: (N, H, W, C).
+
+    LePE runs *per window* (the reference reshapes V into windows before
+    the conv, cswin.py:96-106, so stripe boundaries see zero padding)."""
     n, h, w, c = q.shape
     hd = c // heads
 
@@ -99,18 +105,25 @@ def _stripe_attn(q, k, v, lepe_w, heads: int, sh: int, sw: int):
     out = out.reshape(n, h // sh, w // sw, heads, sh, sw, hd)
     out = out.transpose(0, 1, 4, 2, 5, 3, 6).reshape(n, h, w, c)
 
-    # LePE: depthwise 3x3 conv on V, added to the attention output
+    # LePE: per-window depthwise 3x3 conv on V
+    vwin = v.reshape(n, h // sh, sh, w // sw, sw, c)
+    vwin = vwin.transpose(0, 1, 3, 2, 4, 5).reshape(-1, sh, sw, c)
     lepe = jax.lax.conv_general_dilated(
-        v, lepe_w.reshape(3, 3, 1, c).astype(v.dtype), (1, 1), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+        vwin, lepe_p["w"].reshape(3, 3, 1, c).astype(v.dtype), (1, 1),
+        ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    lepe = lepe + lepe_p["b"].astype(lepe.dtype)
+    lepe = lepe.reshape(n, h // sh, w // sw, sh, sw, c)
+    lepe = lepe.transpose(0, 1, 3, 2, 4, 5).reshape(n, h, w, c)
     return out + lepe
 
 
 def apply(params: Dict, x: Array, *, cfg: CSWinConfig, train: bool = False,
           rng: Optional[Array] = None) -> Tuple[Array, Array]:
+    # conv embed 7x7 s4 pad 2 (reference cswin.py:258-262: Conv2d(3,d,7,4,2))
     x = jax.lax.conv_general_dilated(
         x, params["embed"]["w"].astype(x.dtype), (4, 4),
-        ((3, 2), (3, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ((2, 2), (2, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
     x = x + params["embed"]["b"].astype(x.dtype)
     x = layer_norm(x, params["embed_norm"]["scale"],
                    params["embed_norm"]["bias"])
@@ -133,16 +146,20 @@ def apply(params: Dict, x: Array, *, cfg: CSWinConfig, train: bool = False,
             last = (i == 3) or (h <= split)
             if last:
                 # final stage: full-image attention
-                out = _stripe_attn(q, k, v, bp["lepe"]["w"], heads, h, w)
+                out = _stripe_attn(q, k, v, bp["lepe"], heads, h, w)
             else:
-                # cross-shaped: half heads horizontal, half vertical stripes
+                # cross-shaped: first half of channels -> vertical stripes
+                # (idx 0: H_sp=reso, W_sp=split, cswin.py:72-77), second
+                # half -> horizontal stripes (idx 1)
                 ch = c // 2
+                lep1 = {"w": bp["lepe"]["w"][..., :ch],
+                        "b": bp["lepe"]["b"][:ch]}
+                lep2 = {"w": bp["lepe"]["w"][..., ch:],
+                        "b": bp["lepe"]["b"][ch:]}
                 o1 = _stripe_attn(q[..., :ch], k[..., :ch], v[..., :ch],
-                                  bp["lepe"]["w"][..., :ch], heads // 2,
-                                  split, w)
+                                  lep1, heads // 2, h, split)
                 o2 = _stripe_attn(q[..., ch:], k[..., ch:], v[..., ch:],
-                                  bp["lepe"]["w"][..., ch:], heads // 2,
-                                  h, split)
+                                  lep2, heads // 2, split, w)
                 out = jnp.concatenate([o1, o2], axis=-1)
             out = jnp.dot(out, bp["proj"]["w"].astype(out.dtype)) \
                 + bp["proj"]["b"]
@@ -157,9 +174,11 @@ def apply(params: Dict, x: Array, *, cfg: CSWinConfig, train: bool = False,
         cur += cfg.depths[i]
         if i < 3:
             mp = params["merge"][i]
+            # Merge_Block: Conv2d(dim, 2dim, 3, 2, 1) (cswin.py:229-233);
+            # symmetric pad 1, torch-exact
             x = jax.lax.conv_general_dilated(
-                x, mp["conv"]["w"].astype(x.dtype), (2, 2), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                x, mp["conv"]["w"].astype(x.dtype), (2, 2),
+                ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
             x = x + mp["conv"]["b"].astype(x.dtype)
             x = layer_norm(x, mp["norm"]["scale"], mp["norm"]["bias"])
 

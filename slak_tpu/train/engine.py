@@ -138,8 +138,6 @@ def make_train_step(
             loss = L.cross_entropy(logits, targets)
         return loss, new_model_state
 
-    grad_fn = jax.grad(loss_fn, has_aux=True)
-
     def train_step(state: TrainState, batch, rng):
         images, targets = batch
         uf = train_cfg.update_freq
@@ -158,21 +156,21 @@ def make_train_step(
             targets = targets[:mb * uf].reshape(uf, mb, *targets.shape[1:])
 
             def micro(carry, xt):
-                acc, mstate, k = carry
+                acc, lsum, mstate, k = carry
                 k, sub = jax.random.split(k)
-                g, mstate = grad_fn(state.params, mstate, xt[0], xt[1], sub)
+                (l, mstate), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, mstate, xt[0],
+                                           xt[1], sub)
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
-                return (acc, mstate, k), None
+                return (acc, lsum + l, mstate, k), None
 
             zero = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            (gsum, model_state, _), _ = jax.lax.scan(
-                micro, (zero, state.model_state, rng), (images, targets))
+            (gsum, lsum, model_state, _), _ = jax.lax.scan(
+                micro, (zero, jnp.float32(0.0), state.model_state, rng),
+                (images, targets))
             grads = jax.tree_util.tree_map(lambda g: g / uf, gsum)
-            # loss recomputed on last micro-batch for logging (cheap-ish);
-            # use the scan-final model_state
-            loss, _ = loss_fn(state.params, state.model_state, images[-1],
-                              targets[-1], rng)
+            loss = lsum / uf  # mean micro-batch loss, no extra forward
         else:
             (loss, model_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.model_state,

@@ -160,6 +160,64 @@ def convert_swin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# CSWin
+# ---------------------------------------------------------------------------
+
+
+def convert_cswin_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """Official CSWin state_dict (reference ``cswin.py:246-360`` naming:
+    ``stage{1..4}``, ``merge{1..3}``, ``stage1_conv_embed``) ->
+    :mod:`slak_tpu.models.cswin` params. The two per-block LePE convs
+    (``attns.{0,1}.get_v``) concatenate channel-wise into our single
+    ``lepe`` tensor (branch 0 = first half = vertical stripes)."""
+    sd = _unwrap(sd)
+
+    def dw(prefix):
+        w = sd[prefix + ".weight"][:, 0].transpose(1, 2, 0)  # (3,3,C)
+        return w, sd[prefix + ".bias"]
+
+    p: Dict[str, Any] = {
+        "embed": {"w": _conv_hwio(sd["stage1_conv_embed.0.weight"]),
+                  "b": sd["stage1_conv_embed.0.bias"]},
+        "embed_norm": _ln(sd, "stage1_conv_embed.2"),
+        "stages": [], "merge": [],
+        "norm": _ln(sd, "norm"),
+        "head": _linear(sd, "head"),
+    }
+    for i in range(1, 5):
+        depth = 1 + max(int(m.group(1)) for k in sd
+                        if (m := re.match(rf"stage{i}\.(\d+)\.", k)))
+        blocks = []
+        for j in range(depth):
+            b = f"stage{i}.{j}"
+            if f"{b}.attns.1.get_v.weight" in sd:
+                w0, b0 = dw(f"{b}.attns.0.get_v")
+                w1, b1 = dw(f"{b}.attns.1.get_v")
+                lepe = {"w": np.concatenate([w0, w1], -1),
+                        "b": np.concatenate([b0, b1], -1)}
+            else:  # last stage: single full-dim branch
+                w0, b0 = dw(f"{b}.attns.0.get_v")
+                lepe = {"w": w0, "b": b0}
+            blocks.append({
+                "norm1": _ln(sd, f"{b}.norm1"),
+                "qkv": _linear(sd, f"{b}.qkv"),
+                "lepe": lepe,
+                "proj": _linear(sd, f"{b}.proj"),
+                "norm2": _ln(sd, f"{b}.norm2"),
+                "fc1": _linear(sd, f"{b}.mlp.fc1"),
+                "fc2": _linear(sd, f"{b}.mlp.fc2"),
+            })
+        p["stages"].append(blocks)
+        if i < 4:
+            p["merge"].append({
+                "conv": {"w": _conv_hwio(sd[f"merge{i}.conv.weight"]),
+                         "b": sd[f"merge{i}.conv.bias"]},
+                "norm": _ln(sd, f"merge{i}.norm"),
+            })
+    return p
+
+
+# ---------------------------------------------------------------------------
 # ResNet-D
 # ---------------------------------------------------------------------------
 
@@ -227,6 +285,8 @@ def load_teacher_checkpoint(path: str, model_name: str):
         raise ValueError(f"unsupported checkpoint object in {path}")
     if model_name.startswith(("vit", "deit")):
         return convert_vit_state_dict(ckpt)
+    if model_name.startswith("cswin") or model_name.startswith("CSWin"):
+        return convert_cswin_state_dict(ckpt)
     if model_name.startswith("swin"):
         return convert_swin_state_dict(ckpt)
     if model_name.startswith("resnet"):

@@ -342,3 +342,159 @@ def test_load_teacher_checkpoint_roundtrip(rng, tmp_path):
     assert params["blocks"][0]["qkv"]["w"].shape == (16, 48)
     with pytest.raises(ValueError):
         load_teacher_checkpoint(path, "unknown_model")
+
+
+# ---------------------------------------------------------------------------
+# CSWin twin (reference cswin.py naming: stage{1..4}, merge{1..3})
+# ---------------------------------------------------------------------------
+
+
+def _win_part_chw(x, hsp, wsp):
+    """(B, C, H, W) -> (B*nw, C, hsp, wsp), row-major windows."""
+    b, c, h, w = x.shape
+    x = x.view(b, c, h // hsp, hsp, w // wsp, wsp)
+    return x.permute(0, 2, 4, 1, 3, 5).reshape(-1, c, hsp, wsp)
+
+
+class _TorchLePEAttn(nn.Module):
+    def __init__(self, dim, heads, reso, split, idx):
+        super().__init__()
+        self.get_v = nn.Conv2d(dim, dim, 3, 1, 1, groups=dim)
+        self.heads = heads
+        if idx == -1:
+            self.hsp, self.wsp = reso, reso
+        elif idx == 0:
+            self.hsp, self.wsp = reso, split
+        else:
+            self.hsp, self.wsp = split, reso
+
+    def forward(self, q, k, v, h, w):
+        """q/k/v: (B, L, C) -> (B, L, C)."""
+        b, l, c = q.shape
+        hd = c // self.heads
+
+        def to_win(t):
+            t = t.transpose(1, 2).reshape(b, c, h, w)
+            t = _win_part_chw(t, self.hsp, self.wsp)
+            t = t.reshape(-1, c, self.hsp * self.wsp).transpose(1, 2)
+            return t.reshape(-1, self.hsp * self.wsp, self.heads,
+                             hd).permute(0, 2, 1, 3)
+
+        qw, kw = to_win(q), to_win(k)
+        vimg = v.transpose(1, 2).reshape(b, c, h, w)
+        vwin = _win_part_chw(vimg, self.hsp, self.wsp)
+        lepe = self.get_v(vwin)
+        lepe = lepe.reshape(-1, self.heads, hd,
+                            self.hsp * self.wsp).permute(0, 1, 3, 2)
+        vw = vwin.reshape(-1, self.heads, hd,
+                          self.hsp * self.wsp).permute(0, 1, 3, 2)
+        att = (qw * hd ** -0.5) @ kw.transpose(-2, -1)
+        out = att.softmax(-1) @ vw + lepe
+        out = out.transpose(1, 2).reshape(-1, self.hsp * self.wsp, c)
+        nw_w = w // self.wsp
+        nh = h // self.hsp
+        out = out.view(b, nh, nw_w, self.hsp, self.wsp, c)
+        out = out.permute(0, 1, 3, 2, 4, 5).reshape(b, l, c)
+        return out
+
+
+class _TorchCSWinBlock(nn.Module):
+    def __init__(self, dim, heads, reso, split, last):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        if last:
+            self.attns = nn.ModuleList([
+                _TorchLePEAttn(dim, heads, reso, split, -1)])
+        else:
+            self.attns = nn.ModuleList([
+                _TorchLePEAttn(dim // 2, heads // 2, reso, split, 0),
+                _TorchLePEAttn(dim // 2, heads // 2, reso, split, 1)])
+        self.reso = reso
+
+    def forward(self, x):  # (B, L, C)
+        b, l, c = x.shape
+        h = w = self.reso
+        y = self.norm1(x)
+        qkv = self.qkv(y).reshape(b, l, 3, c).permute(2, 0, 1, 3)
+        if len(self.attns) == 2:
+            x1 = self.attns[0](qkv[0, :, :, :c // 2], qkv[1, :, :, :c // 2],
+                               qkv[2, :, :, :c // 2], h, w)
+            x2 = self.attns[1](qkv[0, :, :, c // 2:], qkv[1, :, :, c // 2:],
+                               qkv[2, :, :, c // 2:], h, w)
+            att = torch.cat([x1, x2], 2)
+        else:
+            att = self.attns[0](qkv[0], qkv[1], qkv[2], h, w)
+        x = x + self.proj(att)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class _TorchMerge(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.conv = nn.Conv2d(dim, 2 * dim, 3, 2, 1)
+        self.norm = nn.LayerNorm(2 * dim)
+
+    def forward(self, x):  # (B, L, C)
+        b, l, c = x.shape
+        h = w = int(l ** 0.5)
+        x = x.transpose(1, 2).reshape(b, c, h, w)
+        x = self.conv(x)
+        x = x.reshape(b, 2 * c, -1).transpose(1, 2)
+        return self.norm(x)
+
+
+class _TorchCSWin(nn.Module):
+    def __init__(self, img=224, d=8, depths=(1, 2, 1, 1),
+                 heads=(2, 2, 4, 8), splits=(1, 2, 7, 7), classes=10):
+        super().__init__()
+        self.stage1_conv_embed = nn.Sequential(
+            nn.Conv2d(3, d, 7, 4, 2), nn.Identity(), nn.LayerNorm(d))
+        reso = img // 4
+        dim = d
+        for i in range(1, 5):
+            setattr(self, f"stage{i}", nn.ModuleList([
+                _TorchCSWinBlock(dim, heads[i - 1], reso, splits[i - 1],
+                                 last=(i == 4)) for _ in range(depths[i - 1])
+            ]))
+            if i < 4:
+                setattr(self, f"merge{i}", _TorchMerge(dim))
+                dim, reso = dim * 2, reso // 2
+        self.norm = nn.LayerNorm(dim)
+        self.head = nn.Linear(dim, classes)
+
+    def forward(self, x):
+        x = self.stage1_conv_embed[0](x)
+        b, c, h, w = x.shape
+        x = x.reshape(b, c, -1).transpose(1, 2)
+        x = self.stage1_conv_embed[2](x)
+        for i in range(1, 5):
+            for blk in getattr(self, f"stage{i}"):
+                x = blk(x)
+            if i < 4:
+                x = getattr(self, f"merge{i}")(x)
+        x = self.norm(x)
+        return self.head(x.mean(1))
+
+
+def test_cswin_converter_logit_parity(rng):
+    from slak_tpu.models.cswin import CSWin, CSWinConfig
+    from slak_tpu.utils.convert_teachers import convert_cswin_state_dict
+    twin = _TorchCSWin().eval()
+    _randomize(twin, rng)
+    x = rng.standard_normal((2, 224, 224, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_cswin_state_dict(twin.state_dict()))
+    model = CSWin(CSWinConfig(embed_dim=8, depths=(1, 2, 1, 1),
+                              split_sizes=(1, 2, 7, 7),
+                              num_heads=(2, 2, 4, 8), num_classes=10))
+    got, feat = model.apply(params, jnp.asarray(x))
+    assert feat.shape == (2, 7, 7, 64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
