@@ -51,7 +51,7 @@ class SLaKConfig:
     drop_path_rate: float = 0.0
     layer_scale_init_value: float = 1e-6
     head_init_scale: float = 1.0
-    conv_impl: str = "auto"          # 'auto' | 'xla' | 'pallas'
+    conv_impl: str = "auto"          # 'auto' | 'xla' | 'grouped' | 'banded'
     bn_axis_name: Optional[str] = None  # SyncBN over this mesh axis if set
 
     @property
@@ -185,10 +185,16 @@ def init(rng: jax.Array, cfg: SLaKConfig) -> Tuple[Params, Params]:
 
 def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
     """conv(+BN) branch. Returns (y, new_branch_state)."""
-    # train-mode 'auto' stays on XLA: the grouped-MXU path's block-diagonal
-    # wgrad costs g x the FLOPs and measured 3x slower end-to-end on v5e
-    # (129 vs 382 img/s train step); the MXU paths are inference wins.
-    impl = "xla" if (train and cfg.conv_impl == "auto") else cfg.conv_impl
+    # train-mode 'auto': banded Pallas with its custom MXU VJP when the
+    # shape gate passes (fwd = banded dots, dgrad = flipped-tap banded,
+    # wgrad = per-channel (H, W*N)@(W*N, Hp) dots) — the TPU analog of the
+    # reference's backward_data_fp32.cu / backward_filter_fp32.cu; plain
+    # XLA otherwise (grouped-MXU's block-diagonal wgrad costs g x the
+    # FLOPs and measured 3x slower end-to-end on v5e: 129 vs 382 img/s).
+    impl = cfg.conv_impl
+    if train and impl == "auto":
+        from slak_tpu.ops.depthwise import banded_train_ok
+        impl = "banded" if banded_train_ok(x, p["w"]) else "xla"
     # conv bias only in bn-less variants (official ConvNeXt dwconv)
     y = depthwise_conv2d(x, p["w"], b=p.get("b"), impl=impl)
     new_s = dict(s)

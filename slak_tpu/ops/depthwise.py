@@ -17,8 +17,9 @@ Design notes (TPU-first):
   * Weight layout is ``(kh, kw, C)``.
   * The XLA path (`lax.conv_general_dilated` with ``feature_group_count=C``)
     is the always-available reference implementation used for correctness
-    diffing; the Pallas path (``slak_tpu.ops.pallas_dwconv``) is the fast path
-    that fuses the three SLaK branches into a single pass over the input.
+    diffing; the banded Pallas path (``slak_tpu.ops.pallas_banded``) is the
+    fast path for the decomposed rectangular pair, and the grouped-MXU path
+    (``slak_tpu.ops.dwconv_grouped``) covers the remaining large kernels.
 """
 
 from __future__ import annotations
@@ -60,14 +61,16 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
 
 def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
                      impl: str = "auto") -> Array:
-    """Public depthwise conv. impl in {'auto', 'xla', 'mxu', 'pallas'}.
+    """Public depthwise conv. impl in {'auto', 'xla', 'mxu', 'grouped'}.
 
-    'auto' picks the banded-matmul MXU path for large kernels on TPU
-    (see :mod:`slak_tpu.ops.dwconv_mxu`) and XLA's native lowering
-    otherwise."""
-    if impl == "pallas":
-        from slak_tpu.ops.pallas_dwconv import depthwise_conv2d_pallas
-        out = depthwise_conv2d_pallas(x, w)
+    'auto' picks the grouped block-diagonal MXU path for large kernels on
+    TPU (see :mod:`slak_tpu.ops.dwconv_grouped`) and XLA's native lowering
+    otherwise. 'banded' is the per-channel banded-GEMM Pallas path with a
+    custom MXU VJP (see :mod:`slak_tpu.ops.pallas_banded`) — the training
+    fast path, selected by the model layer per measured shape gates."""
+    if impl == "banded":
+        from slak_tpu.ops.pallas_banded import depthwise_conv2d_banded
+        out = depthwise_conv2d_banded(x, w)
     elif impl == "mxu":
         from slak_tpu.ops.dwconv_mxu import depthwise_conv2d_mxu
         out = depthwise_conv2d_mxu(x, w)
@@ -86,6 +89,29 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+def banded_train_ok(x: Array, w: Array) -> bool:
+    """Gate for routing a *training* depthwise conv to the banded Pallas
+    path with its custom MXU VJP (fwd + dgrad + wgrad all banded dots).
+
+    Hard constraints: odd taps (the flipped-tap dgrad identity) and
+    batch % 128 == 0 — Mosaic lowers the kernels' dots by merging (W, nb)
+    into the lane axis, which needs full 128-lane blocks (padding the batch
+    in training would inflate fwd+dgrad+wgrad; not worth it, measured).
+
+    Measured v5e bs128 bf16 (fwd+dgrad+wgrad per branch, ms, 2026-08-16):
+      56x56 C=124 (51,5): xla 19.9 -> banded 11.9 (1.67x)
+      28x28 C=249 (49,5): xla 12.6 -> banded  9.3 (1.36x)
+      14x14 C=499 (47,5): xla  8.3 -> banded  8.1 (1.03x)
+       7x7  C=998 (13,5): xla  4.2 -> banded  5.5 (0.77x, loses: grid-step
+                          overhead x 998 channels dwarfs the tiny dots)
+    => gate at max(kh, kw) >= 31."""
+    from slak_tpu.ops.pallas_banded import batch_block
+    kh, kw, _ = w.shape
+    return (_on_tpu() and max(kh, kw) >= 31
+            and kh % 2 == 1 and kw % 2 == 1
+            and batch_block(x.shape[0], x.dtype) is not None)
 
 
 def _grouped_ok(x: Array, w: Array) -> bool:
@@ -128,12 +154,17 @@ def large_kernel_conv(
     # banded Pallas path: the decomposed rectangular pair at K >= 31
     # (measured fastest on v5e: 1.15-1.7x over the grouped-MXU path;
     # see ops/pallas_banded.py)
+    from slak_tpu.ops.pallas_banded import batch_block
     kh0, kw0 = weights[0].shape[0], weights[0].shape[1]
     is_pair = (len(weights) >= 2 and kh0 >= 31 and kw0 < kh0
                and weights[1].shape[0] == kw0 and weights[1].shape[1] == kh0
-               # batch rides the 128-lane axis: Mosaic requires full lanes,
-               # and the per-program VMEM footprint caps the batch at 256
-               and x.shape[0] % 128 == 0 and x.shape[0] <= 256)
+               # batch rides the 128-lane axis; multiples of 128 tile the
+               # blocked grid exactly, smaller batches are zero-padded to
+               # 128. Measured v5e stage1 pair eval (ms): bs32 banded 10.7
+               # vs grouped 21.2; bs64 11.1 vs 15.4; bs128 9.9 vs 15.4 —
+               # banded wins down to bs32 even with 4x lane padding.
+               and (batch_block(x.shape[0], x.dtype) is not None
+                    or x.shape[0] >= 32))
     if is_pair and (impl == "banded" or (impl == "auto" and _on_tpu())):
         from slak_tpu.ops.pallas_banded import lk_pair_banded
         y = lk_pair_banded(x, weights[0], weights[1], scales[0], scales[1])

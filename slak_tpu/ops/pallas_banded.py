@@ -1,11 +1,15 @@
 """Pallas banded-GEMM depthwise conv — per-channel MXU matmuls with the
-batch dimension on the lane axis.
+batch dimension on the lane axis. Forward, dgrad and wgrad all ride the MXU,
+making this the TPU counterpart of the reference's full fwd/dgrad/wgrad
+CUDA kernel set (``cutlass/examples/19_large_depthwise_conv2d_torch_extension/
+forward_fp32.cu``, ``backward_data_fp32.cu:31-82``,
+``backward_filter_fp32.cu:31-82``).
 
 This is the true TPU analog of the reference's implicit-GEMM mapping
 ("grid.x = channel K, per-channel GEMM of output pixels x input pixels",
 ``cutlass/include/cutlass/convolution/kernel/implicit_batched_gemm_tn_
-dwconv2d.h:222-228``): grid = channels, and each program runs the 1-D
-banded contraction
+dwconv2d.h:222-228``): grid = (channels, batch blocks), and each program
+runs the 1-D banded contraction
 
     out[c, h, w, n] = sum_hp A[c, j, h, hp] * x[c, hp, w+j, n]    (j < s)
 
@@ -14,14 +18,32 @@ as s MXU dots of (H, Hp) @ (Hp, W, N). The input lives in C-major layout
 operands are contiguous — the thing XLA's batched ``dot_general`` could not
 give us (measured 3-13 TFLOPS there vs ~MXU rate here).
 
-The (s, K) rectangular twin runs through the same kernel with H and W
+Backward (the part the reference ships as separate CUDA kernels):
+  * dgrad: the transpose of a stride-1 same-padded conv with odd taps is the
+    same conv with spatially flipped taps — so dgrad reuses the forward
+    kernel with ``w[::-1, ::-1]``. Same cost as the forward.
+  * wgrad: dw[k, j, c] = sum_h dA[c, j, h, h+k] where
+    dA[c, j, h, hp] = sum_{w,n} dy[c, h, w, n] * xp[c, hp, w+j, n] is a
+    per-channel (H, W*N) @ (W*N, Hp) MXU dot (contraction over the flattened
+    output-pixel*batch axis — Mosaic supports the (W, N) -> (W*N,) lane
+    merge only when N % 128 == 0, hence the wgrad batch gate). The band
+    extraction is a tiny masked einsum in XLA.
+
+The (s, K) rectangular twin runs through the same kernels with H and W
 swapped by the caller. Banded matrices A are built in XLA from the tap
 weights each call (cheap gather; weights change every step).
+
+Precision: fp32 operands use ``Precision.HIGHEST`` (6-pass exact fp32 on
+the MXU); bf16 operands use the native bf16 MXU path with fp32 accumulation
+— matching the reference's fp16 kernels, whose wgrad likewise accumulates
+and emits fp32 (``backward_filter_fp16.cu:18``).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -29,6 +51,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
+
+
+def _precision(dtype):
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+def batch_block(n: int, dtype) -> Optional[int]:
+    """Per-program batch-block size for the banded kernels, or None if the
+    batch is not a multiple of 128 (the NHWC entry points then zero-pad the
+    batch up to one — see :func:`_pad_batch`).
+
+    Mosaic lowers the kernels' 3-D dots / reshapes by merging (W, nb) into
+    the lane axis, which only compiles when nb % 128 == 0 (measured: nb=2
+    and nb=64 both fail with "unsupported shape cast"). The VMEM footprint
+    per program is ~(Hp*Wp + H*W) * nb * itemsize, double-buffered;
+    nb = 256 @ bf16 / 128 @ fp32 keeps the largest SLaK stage
+    (56x56, K=51 -> Hp=106, Wp=60) under ~10 MB."""
+    if n % 128 != 0:
+        return None
+    if jnp.dtype(dtype).itemsize <= 2 and n % 256 == 0:
+        return 256
+    return 128
+
+
+def _pad_batch(x: Array):
+    """Zero-pad the NHWC batch up to a multiple of 128 (exact: padded rows
+    produce padded outputs that are sliced away; they contribute zero to
+    wgrad). Returns (padded, original_n)."""
+    n = x.shape[0]
+    np_ = -(-n // 128) * 128
+    if np_ == n:
+        return x, n
+    return jnp.pad(x, ((0, np_ - n), (0, 0), (0, 0), (0, 0))), n
 
 
 def build_banded(w: Array, H: int) -> Array:
@@ -46,18 +101,46 @@ def build_banded(w: Array, H: int) -> Array:
     return A.transpose(3, 2, 0, 1)  # (C, s, H, Hp)
 
 
-def _kernel(a_ref, x_ref, o_ref, *, s: int, H: int, W: int):
-    acc = jnp.zeros(o_ref.shape[1:], jnp.float32)  # (H, W, N)
-    for j in range(s):
-        xs = x_ref[0, :, j:j + W, :]               # (Hp, W, N)
-        acc += lax.dot_general(
-            a_ref[0, j], xs, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    o_ref[0] = acc.astype(o_ref.dtype)
+# ---------------------------------------------------------------------------
+# forward (also dgrad, via flipped taps)
+# ---------------------------------------------------------------------------
 
 
-def dwconv_banded_cmajor(xc: Array, w: Array, interpret: bool = False
-                         ) -> Array:
+def _pick_cb(Hp: int, Wp: int, nb: int, itemsize: int) -> int:
+    """Channels per grid step. Each Mosaic grid step costs a fixed ~5-20 us
+    of pipeline overhead on this stack; small-map stages (high channel
+    count, tiny dots) are overhead-bound, so pack as many channels per step
+    as a ~2 MB input block allows (double-buffered in+out stays < ~8 MB)."""
+    per_ch = Hp * Wp * nb * itemsize
+    return max(1, min(32, (2 * 1024 * 1024) // per_ch))
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pad_channels(a: Array, cp: int) -> Array:
+    c = a.shape[0]
+    if c == cp:
+        return a
+    return jnp.pad(a, ((0, cp - c),) + ((0, 0),) * (a.ndim - 1))
+
+
+def _fwd_kernel(a_ref, x_ref, o_ref, *, s: int, H: int, W: int, cb: int,
+                prec):
+    for i in range(cb):
+        acc = jnp.zeros(o_ref.shape[1:], jnp.float32)  # (H, W, nb)
+        for j in range(s):
+            xs = x_ref[i, :, j:j + W, :]               # (Hp, W, nb)
+            acc += lax.dot_general(
+                a_ref[i, j], xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o_ref[i] = acc.astype(o_ref.dtype)
+
+
+def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
+                         cb: Optional[int] = None,
+                         interpret: bool = False) -> Array:
     """xc: (C, Hp, Wp, N) padded C-major input (Hp = H + 2*(kh//2),
     Wp = W + 2*(kw//2)); w: (kh, kw, C) taps with kh the contracted (long)
     axis. Returns (C, H, W, N)."""
@@ -65,23 +148,372 @@ def dwconv_banded_cmajor(xc: Array, w: Array, interpret: bool = False
     kh, s, _ = w.shape
     H = Hp - 2 * (kh // 2)
     W = Wp - 2 * (s // 2)
-    A = build_banded(w, H).astype(xc.dtype)        # (C, s, H, Hp)
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        cb = _pick_cb(Hp, Wp, nb, jnp.dtype(xc.dtype).itemsize)
+    cp = _round_up(C, cb)
+    A = _pad_channels(build_banded(w, H).astype(xc.dtype), cp)  # (cp,s,H,Hp)
+    xc = _pad_channels(xc, cp)
 
-    kernel = functools.partial(_kernel, s=s, H=H, W=W)
-    return pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, s=s, H=H, W=W, cb=cb,
+                               prec=_precision(xc.dtype))
+    out = pl.pallas_call(
         kernel,
-        grid=(C,),
+        grid=(cp // cb, N // nb),
         in_specs=[
-            pl.BlockSpec((1, s, H, Hp), lambda c: (c, 0, 0, 0),
+            pl.BlockSpec((cb, s, H, Hp), lambda c, b: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hp, Wp, N), lambda c: (c, 0, 0, 0),
+            pl.BlockSpec((cb, Hp, Wp, nb), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H, W, N), lambda c: (c, 0, 0, 0),
+        out_specs=pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, H, W, N), xc.dtype),
+        out_shape=jax.ShapeDtypeStruct((cp, H, W, N), xc.dtype),
         interpret=interpret,
     )(A, xc)
+    return out if cp == C else out[:C]
+
+
+# ---------------------------------------------------------------------------
+# full-2D Toeplitz variant (tiny maps: one MXU dot per channel)
+#
+# At tiny map sizes (e.g. 7x7) the 1-D banded dots have M = H = 7, so the
+# MXU stationary tile is ~5% occupied. Flattening BOTH spatial dims into a
+# doubly-blocked Toeplitz matrix turns the whole conv into a single
+# (H*W, Hp*Wp) @ (Hp*Wp, nb) dot per channel: M = H*W, K = Hp*Wp — better
+# MXU shapes, no in-kernel slicing or reshaping, and it is symmetric in
+# H/W so rectangular twins need no orientation swap.
+#
+# Gated tightly by _A2_BYTES_MAX: the Toeplitz inflates FLOPs by
+# Hp*Wp / (kh*kw) (4.6x at SLaK-T stage 3), and measured on v5e bs128 bf16
+# (train chain fwd+dgrad+wgrad, 2026-08-16) stage3 14x14 C=499 (47,5) runs
+# 22.9 ms via 2-D vs 8.1 ms via 1-D — so only maps whose A2 is truly tiny
+# (stage-4-like, 7x7: A2 = 20 KB, 2-D 5.8 ms vs 1-D 5.5 ms but one pass
+# instead of an H/W swap pair) take this path.
+# ---------------------------------------------------------------------------
+
+_A2_BYTES_MAX = 64 * 1024
+
+
+def use_banded2d(H: int, W: int, kh: int, kw: int, itemsize: int) -> bool:
+    hw = (H + 2 * (kh // 2)) * (W + 2 * (kw // 2))
+    return H * W * hw * itemsize <= _A2_BYTES_MAX
+
+
+def build_banded2d(w: Array, H: int, W: int) -> Array:
+    """(kh, kw, C) taps -> (C, H*W, Hp*Wp) doubly-blocked Toeplitz:
+    A2[c, h*W + w_, hp*Wp + wp] = w[hp - h, wp - w_, c] inside the band."""
+    kh, kw, C = w.shape
+    Hp, Wp = H + 2 * (kh // 2), W + 2 * (kw // 2)
+    kk = jnp.arange(Hp)[None, :] - jnp.arange(H)[:, None]     # (H, Hp)
+    jj = jnp.arange(Wp)[None, :] - jnp.arange(W)[:, None]     # (W, Wp)
+    vk = (kk >= 0) & (kk < kh)
+    vj = (jj >= 0) & (jj < kw)
+    a4 = w[jnp.clip(kk, 0, kh - 1)[:, :, None, None],
+           jnp.clip(jj, 0, kw - 1)[None, None, :, :]]         # (H,Hp,W,Wp,C)
+    a4 = jnp.where((vk[:, :, None, None] & vj[None, None])[..., None], a4, 0)
+    a4 = a4.transpose(4, 0, 2, 1, 3)                          # (C,H,W,Hp,Wp)
+    return a4.reshape(C, H * W, Hp * Wp)
+
+
+def _fwd2d_kernel(a_ref, x_ref, o_ref, *, cb: int, prec):
+    for i in range(cb):
+        o_ref[i] = lax.dot_general(
+            a_ref[i], x_ref[i], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec).astype(o_ref.dtype)
+
+
+def _pick_cb2d(hw: int, hpwp: int, nb: int, itemsize: int) -> int:
+    per_ch = (hw * hpwp + (hw + hpwp) * nb) * itemsize
+    return max(1, min(32, (2 * 1024 * 1024) // per_ch))
+
+
+def dwconv_banded2d_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
+                           cb: Optional[int] = None,
+                           interpret: bool = False) -> Array:
+    """xc: (C, Hp, Wp, N) padded C-major input; w: (kh, kw, C).
+    Returns (C, H, W, N) via one Toeplitz dot per channel."""
+    C, Hp, Wp, N = xc.shape
+    kh, kw, _ = w.shape
+    H, W = Hp - 2 * (kh // 2), Wp - 2 * (kw // 2)
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        cb = _pick_cb2d(H * W, Hp * Wp, nb,
+                        jnp.dtype(xc.dtype).itemsize)
+    cp = _round_up(C, cb)
+    A2 = _pad_channels(build_banded2d(w, H, W).astype(xc.dtype), cp)
+    xf = _pad_channels(xc.reshape(C, Hp * Wp, N), cp)
+
+    kernel = functools.partial(_fwd2d_kernel, cb=cb,
+                               prec=_precision(xc.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cp // cb, N // nb),
+        in_specs=[
+            pl.BlockSpec((cb, H * W, Hp * Wp), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, Hp * Wp, nb), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, H * W, N), xc.dtype),
+        interpret=interpret,
+    )(A2, xf)
+    return out[:C].reshape(C, H, W, N)
+
+
+def _wgrad2d_kernel(dy_ref, x_ref, o_ref, *, cb: int, prec):
+    b = pl.program_id(1)
+    for i in range(cb):
+        val = lax.dot_general(dy_ref[i], x_ref[i], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
+
+        @pl.when(b == 0)
+        def _():
+            o_ref[i] = val
+
+        @pl.when(b > 0)
+        def _():
+            o_ref[i] += val
+
+
+def wgrad_banded2d_cmajor(xc: Array, dy: Array, nb: Optional[int] = None,
+                          cb: Optional[int] = None,
+                          interpret: bool = False) -> Array:
+    """dA2[c, hw, pq] = sum_n dy[c, hw, n] * xc[c, pq, n] — the 2-D
+    Toeplitz correlation. xc: (C, Hp, Wp, N) padded input, dy: (C, H, W, N).
+    Returns fp32 (C, H*W, Hp*Wp), accumulated over batch blocks."""
+    C, Hp, Wp, N = xc.shape
+    _, H, W, _ = dy.shape
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        cb = _pick_cb2d(H * W, Hp * Wp, nb, jnp.dtype(xc.dtype).itemsize)
+    cp = _round_up(C, cb)
+    xf = _pad_channels(xc.reshape(C, Hp * Wp, N), cp)
+    df = _pad_channels(dy.reshape(C, H * W, N), cp)
+    kernel = functools.partial(_wgrad2d_kernel, cb=cb,
+                               prec=_precision(xc.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cp // cb, N // nb),
+        in_specs=[
+            pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, Hp * Wp, nb), lambda c, b: (c, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, H * W, Hp * Wp), lambda c, b: (c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, H * W, Hp * Wp), jnp.float32),
+        interpret=interpret,
+    )(df, xf)
+    return out[:C]
+
+
+def band_extract2d(dA2: Array, kh: int, kw: int, H: int, W: int) -> Array:
+    """(C, H*W, Hp*Wp) -> (kh, kw, C) tap grads:
+    dw[k, j, c] = sum_{h,w} dA2[c, h*W+w, (h+k)*Wp + (w+j)]."""
+    C = dA2.shape[0]
+    Hp, Wp = H + 2 * (kh // 2), W + 2 * (kw // 2)
+    dA5 = dA2.reshape(C, H, W, Hp, Wp)
+    m1 = (jnp.arange(Hp)[None, :] - jnp.arange(H)[:, None])
+    M1 = jax.nn.one_hot(m1, kh, dtype=dA2.dtype)              # (H, Hp, kh)
+    m2 = (jnp.arange(Wp)[None, :] - jnp.arange(W)[:, None])
+    M2 = jax.nn.one_hot(m2, kw, dtype=dA2.dtype)              # (W, Wp, kw)
+    e = jnp.einsum("chwpq,hpk->cwqk", dA5, M1,
+                   precision=lax.Precision.HIGHEST)
+    return jnp.einsum("cwqk,wqj->kjc", e, M2,
+                      precision=lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# wgrad
+# ---------------------------------------------------------------------------
+
+
+def _wgrad_kernel(dy_ref, x_ref, o_ref, *, s: int, H: int, W: int,
+                  Hp: int, nb: int, cb: int, prec):
+    b = pl.program_id(1)
+    for i in range(cb):
+        dy2 = dy_ref[i].reshape(H, W * nb)
+        for j in range(s):
+            xs = x_ref[i, :, j:j + W, :].reshape(Hp, W * nb)
+            val = lax.dot_general(dy2, xs, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32,
+                                  precision=prec)
+
+            @pl.when(b == 0)
+            def _():
+                o_ref[i, j] = val
+
+            @pl.when(b > 0)
+            def _():
+                o_ref[i, j] += val
+
+
+def wgrad_banded_cmajor(xc: Array, dy: Array, s: int,
+                        nb: Optional[int] = None,
+                        cb: Optional[int] = None,
+                        interpret: bool = False) -> Array:
+    """dA[c, j, h, hp] = sum_{w,n} dy[c,h,w,n] * xc[c,hp,w+j,n].
+
+    xc: (C, Hp, Wp, N) padded input; dy: (C, H, W, N) output cotangent.
+    Returns fp32 (C, s, H, Hp). Requires the per-program batch block to be
+    a multiple of 128 (or the whole batch if smaller — interpret/test mode
+    only): the in-kernel (W, nb) -> (W*nb,) lane merge needs full lanes."""
+    C, Hp, Wp, N = xc.shape
+    _, H, W, _ = dy.shape
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        cb = _pick_cb(Hp, Wp, nb, jnp.dtype(xc.dtype).itemsize)
+    cp = _round_up(C, cb)
+    xc = _pad_channels(xc, cp)
+    dy = _pad_channels(dy, cp)
+    kernel = functools.partial(_wgrad_kernel, s=s, H=H, W=W, Hp=Hp, nb=nb,
+                               cb=cb, prec=_precision(xc.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cp // cb, N // nb),
+        in_specs=[
+            pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, Hp, Wp, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, s, H, Hp), lambda c, b: (c, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, s, H, Hp), jnp.float32),
+        interpret=interpret,
+    )(dy, xc)
+    return out if cp == C else out[:C]
+
+
+def band_extract(dA: Array, K: int) -> Array:
+    """(C, s, H, Hp) correlation matrices -> (K, s, C) tap grads:
+    dw[k, j, c] = sum_h dA[c, j, h, h + k]."""
+    C, s, H, Hp = dA.shape
+    h = jnp.arange(H)[:, None, None]
+    hp = jnp.arange(Hp)[None, :, None]
+    k = jnp.arange(K)[None, None, :]
+    M = (hp - h == k).astype(dA.dtype)             # (H, Hp, K)
+    return jnp.einsum("cjhq,hqk->kjc", dA, M,
+                      precision=lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# NHWC entry point with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _to_cmajor_padded(x: Array, ph: int, pw: int) -> Array:
+    xc = jnp.transpose(x, (3, 1, 2, 0))            # (C, H, W, N)
+    return jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+
+
+def _banded_fwd_core(x: Array, w: Array, interpret: bool) -> Array:
+    """kh >= kw orientation. x NHWC, w (K, s, C) -> NHWC."""
+    K, s, _ = w.shape
+    xcp = _to_cmajor_padded(x, K // 2, s // 2)
+    y = dwconv_banded_cmajor(xcp, w, interpret=interpret)
+    return jnp.transpose(y, (3, 1, 2, 0))
+
+
+def _banded_fwd(x: Array, w: Array, interpret: bool) -> Array:
+    x, n = _pad_batch(x)
+    kh, kw, _ = w.shape
+    _, H, W, _ = x.shape
+    if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
+        xcp = _to_cmajor_padded(x, kh // 2, kw // 2)
+        y = dwconv_banded2d_cmajor(xcp, w, interpret=interpret)
+        y = jnp.transpose(y, (3, 1, 2, 0))
+    elif kw > kh:
+        y = _banded_fwd_core(jnp.transpose(x, (0, 2, 1, 3)),
+                             jnp.transpose(w, (1, 0, 2)), interpret)
+        y = jnp.transpose(y, (0, 2, 1, 3))
+    else:
+        y = _banded_fwd_core(x, w, interpret)
+    return y if y.shape[0] == n else y[:n]
+
+
+def _banded_wgrad_core(x: Array, g: Array, K: int, s: int,
+                       interpret: bool) -> Array:
+    """kh >= kw orientation: (K, s, C) tap grads, fp32. Zero batch padding
+    is exact here: padded rows contribute 0 to the dA accumulation."""
+    x, _ = _pad_batch(x)
+    g, _ = _pad_batch(g)
+    xcp = _to_cmajor_padded(x, K // 2, s // 2)
+    gc = jnp.transpose(g, (3, 1, 2, 0)).astype(x.dtype)
+    dA = wgrad_banded_cmajor(xcp, gc, s, interpret=interpret)
+    return band_extract(dA, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise_conv2d_banded(x: Array, w: Array,
+                            interpret: bool = False) -> Array:
+    """Stride-1 same-padded (k//2 per dim) depthwise conv, banded MXU
+    fwd/dgrad/wgrad. x: (N, H, W, C); w: (kh, kw, C), both kh, kw odd.
+    The batch must satisfy :func:`batch_block` (the wgrad lane merge also
+    needs N % 128 == 0 when compiled — callers gate on that)."""
+    return _banded_fwd(x, w, interpret)
+
+
+def _vjp_fwd(x, w, interpret):
+    return _banded_fwd(x, w, interpret), (x, w)
+
+
+def _vjp_bwd(interpret, res, g):
+    x, w = res
+    kh, kw, _ = w.shape
+    _, H, W, _ = x.shape
+    # dgrad: same conv, spatially flipped taps (exact for odd kh, kw)
+    dx = _banded_fwd(g.astype(x.dtype), w[::-1, ::-1, :].astype(x.dtype),
+                     interpret)
+    if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
+        xp, _ = _pad_batch(x)
+        gp, _ = _pad_batch(g)
+        xcp = _to_cmajor_padded(xp, kh // 2, kw // 2)
+        gc = jnp.transpose(gp, (3, 1, 2, 0)).astype(x.dtype)
+        dA2 = wgrad_banded2d_cmajor(xcp, gc, interpret=interpret)
+        dw = band_extract2d(dA2, kh, kw, H, W)
+    elif kw > kh:
+        dw = _banded_wgrad_core(jnp.transpose(x, (0, 2, 1, 3)),
+                                jnp.transpose(g, (0, 2, 1, 3)),
+                                kw, kh, interpret)
+        dw = jnp.transpose(dw, (1, 0, 2))
+    else:
+        dw = _banded_wgrad_core(x, g, kh, kw, interpret)
+    return dx.astype(x.dtype), dw.astype(w.dtype)
+
+
+depthwise_conv2d_banded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused eval pair (LoRA1 + LoRA2 with folded-BN scales)
+# ---------------------------------------------------------------------------
 
 
 def lk_pair_banded(x: Array, w1: Array, w2: Array,
@@ -91,6 +523,7 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
     C-major banded passes. Per-branch folded-BN scales multiply the tap
     weights (free — they fold into the banded matrices). Returns the NHWC
     sum (biases are the caller's)."""
+    x, n0 = _pad_batch(x)
     N, H, W, C = x.shape
     K, s, _ = w1.shape
     ph, pw = K // 2, s // 2
@@ -98,6 +531,19 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
         w1 = w1 * scale1.astype(w1.dtype)
     if scale2 is not None:
         w2 = w2 * scale2.astype(w2.dtype)
+
+    if use_banded2d(H, W, K, s, jnp.dtype(x.dtype).itemsize):
+        # small maps: one Toeplitz dot per channel per branch, shared
+        # C-major layout, single transpose back
+        xc = jnp.transpose(x, (3, 1, 2, 0))
+        y1 = dwconv_banded2d_cmajor(
+            jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0))), w1,
+            interpret=interpret)
+        y2 = dwconv_banded2d_cmajor(
+            jnp.pad(xc, ((0, 0), (pw, pw), (ph, ph), (0, 0))), w2,
+            interpret=interpret)
+        out = jnp.transpose(y1 + y2, (3, 1, 2, 0))
+        return out if out.shape[0] == n0 else out[:n0]
 
     # LoRA1: contract along H. layout (C, Hp, Wp, N)
     xc = jnp.transpose(x, (3, 1, 2, 0))
@@ -112,5 +558,6 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
     # both branch outputs transpose straight to NHWC inside one add-fusion
     # (transposing y2 into y1's layout first would cost an extra full-tensor
     # round trip)
-    return (jnp.transpose(y1, (3, 1, 2, 0))
-            + jnp.transpose(y2, (3, 2, 1, 0)))               # NHWC
+    out = (jnp.transpose(y1, (3, 1, 2, 0))
+           + jnp.transpose(y2, (3, 2, 1, 0)))                # NHWC
+    return out if out.shape[0] == n0 else out[:n0]
