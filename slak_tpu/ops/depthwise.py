@@ -100,18 +100,21 @@ def banded_train_ok(x: Array, w: Array) -> bool:
     into the lane axis, which needs full 128-lane blocks (padding the batch
     in training would inflate fwd+dgrad+wgrad; not worth it, measured).
 
-    Measured v5e bs128 bf16 (fwd+dgrad+wgrad per branch, ms, 2026-08-16):
-      56x56 C=124 (51,5): xla 19.9 -> banded 11.9 (1.67x)
-      28x28 C=249 (49,5): xla 12.6 -> banded  9.3 (1.36x)
-      14x14 C=499 (47,5): xla  8.3 -> banded  8.1 (1.03x)
-       7x7  C=998 (13,5): xla  4.2 -> banded  5.5 (0.77x, loses: grid-step
-                          overhead x 998 channels dwarfs the tiny dots)
-    => gate at max(kh, kw) >= 31."""
-    from slak_tpu.ops.pallas_banded import batch_block
+    Measured v5e bs128 bf16 (fwd+dgrad+wgrad per branch, ms, 2026-08-17,
+    unpadded-contraction kernels):
+      56x56 C=124 (51,5): xla 19.9 -> banded 8.83 (2.25x)
+      28x28 C=249 (49,5): xla 12.6 -> banded 7.15 (1.76x)
+      14x14 C=499 (47,5): xla  8.3 -> banded 5.41 (1.53x, 1-D)
+       7x7  C=998 (13,5): xla 4.33 -> banded 4.26 (parity, 2-D Toeplitz)
+    => gate at max(kh, kw) >= 31, plus the tiny-map 2-D regime."""
+    from slak_tpu.ops.pallas_banded import batch_block, use_banded2d
     kh, kw, _ = w.shape
-    return (_on_tpu() and max(kh, kw) >= 31
-            and kh % 2 == 1 and kw % 2 == 1
-            and batch_block(x.shape[0], x.dtype) is not None)
+    return (_on_tpu() and kh % 2 == 1 and kw % 2 == 1
+            and batch_block(x.shape[0], x.dtype) is not None
+            and (max(kh, kw) >= 31
+                 or (max(kh, kw) >= 13     # tiny (5,5) branches stay on XLA
+                     and use_banded2d(x.shape[1], x.shape[2], kh, kw,
+                                      jnp.dtype(x.dtype).itemsize))))
 
 
 def _grouped_ok(x: Array, w: Array) -> bool:

@@ -11,20 +11,30 @@ This is the true TPU analog of the reference's implicit-GEMM mapping
 dwconv2d.h:222-228``): grid = (channels, batch blocks), and each program
 runs the 1-D banded contraction
 
-    out[c, h, w, n] = sum_hp A[c, j, h, hp] * x[c, hp, w+j, n]    (j < s)
+    out[c, h, w, n] = sum_h2 A[c, j, h, h2] * x[c, h2, w+j, n]    (j < s)
 
-as s MXU dots of (H, Hp) @ (Hp, W, N). The input lives in C-major layout
-(C, Hp, Wp, N) with the *batch* N on the 128-lane axis, so each channel's
-operands are contiguous — the thing XLA's batched ``dot_general`` could not
-give us (measured 3-13 TFLOPS there vs ~MXU rate here).
+as s MXU dots of (H, H) @ (H, W, N).
+
+The contraction runs over the UNPADDED height: a same-padded conv's padded
+rows are zeros, so the (H, Hp = H + K - 1) banded matrix of the textbook
+formulation wastes Hp/H of the dot's contraction dim on zero products.
+``A[c, j, h, h2] = w[h2 - h + K//2, j, c]`` over the (H, H) real extent is
+exact and, since the per-channel dot cost scales with the contraction dim,
+1.9x / 2.7x / 4.3x cheaper at SLaK-T stage-1/2/3 map sizes (measured: the
+kernels are MXU-issue-bound, time ~ K_dim * N_dim and independent of M).
+Only the *width* carries a (small, s//2) halo, for the j-tap slide.
+
+The input lives in C-major layout (C, H, Wp, N) with the batch N on the
+128-lane axis, so each channel's operands are contiguous — the thing XLA's
+batched ``dot_general`` could not give us (measured 3-13 TFLOPS there).
 
 Backward (the part the reference ships as separate CUDA kernels):
   * dgrad: the transpose of a stride-1 same-padded conv with odd taps is the
     same conv with spatially flipped taps — so dgrad reuses the forward
     kernel with ``w[::-1, ::-1]``. Same cost as the forward.
-  * wgrad: dw[k, j, c] = sum_h dA[c, j, h, h+k] where
-    dA[c, j, h, hp] = sum_{w,n} dy[c, h, w, n] * xp[c, hp, w+j, n] is a
-    per-channel (H, W*N) @ (W*N, Hp) MXU dot (contraction over the flattened
+  * wgrad: dw[k, j, c] = sum_h dA[c, j, h, h + k - K//2] where
+    dA[c, j, h, h2] = sum_{w,n} dy[c, h, w, n] * xp[c, h2, w+j, n] is a
+    per-channel (H, W*N) @ (W*N, H) MXU dot (contraction over the flattened
     output-pixel*batch axis — Mosaic supports the (W, N) -> (W*N,) lane
     merge only when N % 128 == 0, hence the wgrad batch gate). The band
     extraction is a tiny masked einsum in XLA.
@@ -64,10 +74,8 @@ def batch_block(n: int, dtype) -> Optional[int]:
 
     Mosaic lowers the kernels' 3-D dots / reshapes by merging (W, nb) into
     the lane axis, which only compiles when nb % 128 == 0 (measured: nb=2
-    and nb=64 both fail with "unsupported shape cast"). The VMEM footprint
-    per program is ~(Hp*Wp + H*W) * nb * itemsize, double-buffered;
-    nb = 256 @ bf16 / 128 @ fp32 keeps the largest SLaK stage
-    (56x56, K=51 -> Hp=106, Wp=60) under ~10 MB."""
+    and nb=64 both fail to lower). nb = 256 @ bf16 / 128 @ fp32 keeps the
+    per-program VMEM footprint comfortable at SLaK map sizes."""
     if n % 128 != 0:
         return None
     if jnp.dtype(dtype).itemsize <= 2 and n % 256 == 0:
@@ -87,18 +95,16 @@ def _pad_batch(x: Array):
 
 
 def build_banded(w: Array, H: int) -> Array:
-    """(K, s, C) taps -> (C, s, H, Hp) banded matrices, Hp = H + 2*(K//2).
-
-    A[c, j, h, hp] = w[hp - h, j, c] for 0 <= hp - h < K.
+    """(K, s, C) taps -> (C, s, H, H) banded matrices over the unpadded
+    height: A[c, j, h, h2] = w[h2 - h + K//2, j, c] for 0 <= h2-h+K//2 < K.
     """
     K = w.shape[0]
-    Hp = H + 2 * (K // 2)
-    hp = jnp.arange(Hp)[None, :]
+    h2 = jnp.arange(H)[None, :]
     h = jnp.arange(H)[:, None]
-    k = hp - h
+    k = h2 - h + K // 2
     valid = (k >= 0) & (k < K)
     A = jnp.where(valid[:, :, None, None], w[jnp.clip(k, 0, K - 1)], 0)
-    return A.transpose(3, 2, 0, 1)  # (C, s, H, Hp)
+    return A.transpose(3, 2, 0, 1)  # (C, s, H, H)
 
 
 # ---------------------------------------------------------------------------
@@ -106,12 +112,10 @@ def build_banded(w: Array, H: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _pick_cb(Hp: int, Wp: int, nb: int, itemsize: int) -> int:
-    """Channels per grid step. Each Mosaic grid step costs a fixed ~5-20 us
-    of pipeline overhead on this stack; small-map stages (high channel
-    count, tiny dots) are overhead-bound, so pack as many channels per step
-    as a ~2 MB input block allows (double-buffered in+out stays < ~8 MB)."""
-    per_ch = Hp * Wp * nb * itemsize
+def _pick_cb(H: int, Wp: int, nb: int, itemsize: int) -> int:
+    """Channels per grid step: pack as many channels per step as a ~2 MB
+    input block allows (double-buffered in+out stays well under VMEM)."""
+    per_ch = H * Wp * nb * itemsize
     return max(1, min(32, (2 * 1024 * 1024) // per_ch))
 
 
@@ -126,12 +130,11 @@ def _pad_channels(a: Array, cp: int) -> Array:
     return jnp.pad(a, ((0, cp - c),) + ((0, 0),) * (a.ndim - 1))
 
 
-def _fwd_kernel(a_ref, x_ref, o_ref, *, s: int, H: int, W: int, cb: int,
-                prec):
+def _fwd_kernel(a_ref, x_ref, o_ref, *, s: int, W: int, cb: int, prec):
     for i in range(cb):
         acc = jnp.zeros(o_ref.shape[1:], jnp.float32)  # (H, W, nb)
         for j in range(s):
-            xs = x_ref[i, :, j:j + W, :]               # (Hp, W, nb)
+            xs = x_ref[i, :, j:j + W, :]               # (H, W, nb)
             acc += lax.dot_general(
                 a_ref[i, j], xs, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec)
@@ -141,12 +144,11 @@ def _fwd_kernel(a_ref, x_ref, o_ref, *, s: int, H: int, W: int, cb: int,
 def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
                          cb: Optional[int] = None,
                          interpret: bool = False) -> Array:
-    """xc: (C, Hp, Wp, N) padded C-major input (Hp = H + 2*(kh//2),
-    Wp = W + 2*(kw//2)); w: (kh, kw, C) taps with kh the contracted (long)
+    """xc: (C, H, Wp, N) C-major input, W-padded only (Wp = W + 2*(kw//2),
+    height UNPADDED); w: (kh, kw, C) taps with kh the contracted (long)
     axis. Returns (C, H, W, N)."""
-    C, Hp, Wp, N = xc.shape
+    C, H, Wp, N = xc.shape
     kh, s, _ = w.shape
-    H = Hp - 2 * (kh // 2)
     W = Wp - 2 * (s // 2)
     if nb is None:
         nb = batch_block(N, xc.dtype)
@@ -155,20 +157,20 @@ def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
             nb = N
     assert N % nb == 0, (N, nb)
     if cb is None:
-        cb = _pick_cb(Hp, Wp, nb, jnp.dtype(xc.dtype).itemsize)
+        cb = _pick_cb(H, Wp, nb, jnp.dtype(xc.dtype).itemsize)
     cp = _round_up(C, cb)
-    A = _pad_channels(build_banded(w, H).astype(xc.dtype), cp)  # (cp,s,H,Hp)
+    A = _pad_channels(build_banded(w, H).astype(xc.dtype), cp)  # (cp,s,H,H)
     xc = _pad_channels(xc, cp)
 
-    kernel = functools.partial(_fwd_kernel, s=s, H=H, W=W, cb=cb,
+    kernel = functools.partial(_fwd_kernel, s=s, W=W, cb=cb,
                                prec=_precision(xc.dtype))
     out = pl.pallas_call(
         kernel,
         grid=(cp // cb, N // nb),
         in_specs=[
-            pl.BlockSpec((cb, s, H, Hp), lambda c, b: (c, 0, 0, 0),
+            pl.BlockSpec((cb, s, H, H), lambda c, b: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, Hp, Wp, nb), lambda c, b: (c, 0, 0, b),
+            pl.BlockSpec((cb, H, Wp, nb), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
@@ -182,43 +184,35 @@ def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
 # ---------------------------------------------------------------------------
 # full-2D Toeplitz variant (tiny maps: one MXU dot per channel)
 #
-# At tiny map sizes (e.g. 7x7) the 1-D banded dots have M = H = 7, so the
-# MXU stationary tile is ~5% occupied. Flattening BOTH spatial dims into a
-# doubly-blocked Toeplitz matrix turns the whole conv into a single
-# (H*W, Hp*Wp) @ (Hp*Wp, nb) dot per channel: M = H*W, K = Hp*Wp — better
-# MXU shapes, no in-kernel slicing or reshaping, and it is symmetric in
-# H/W so rectangular twins need no orientation swap.
-#
-# Gated tightly by _A2_BYTES_MAX: the Toeplitz inflates FLOPs by
-# Hp*Wp / (kh*kw) (4.6x at SLaK-T stage 3), and measured on v5e bs128 bf16
-# (train chain fwd+dgrad+wgrad, 2026-08-16) stage3 14x14 C=499 (47,5) runs
-# 22.9 ms via 2-D vs 8.1 ms via 1-D — so only maps whose A2 is truly tiny
-# (stage-4-like, 7x7: A2 = 20 KB, 2-D 5.8 ms vs 1-D 5.5 ms but one pass
-# instead of an H/W swap pair) take this path.
+# At tiny map sizes (e.g. 7x7) the per-(channel, j) 1-D dots are tiny and
+# issue-bound. Flattening BOTH spatial dims into a doubly-blocked Toeplitz
+# matrix turns the whole conv into a single (H*W, H*W) @ (H*W, nb) dot per
+# channel — no padding at all (same zero-row argument as the 1-D band),
+# no in-kernel slicing, and symmetric in H/W so rectangular twins need no
+# orientation swap. Gated by _A2_BYTES_MAX on the A2 footprint.
 # ---------------------------------------------------------------------------
 
 _A2_BYTES_MAX = 64 * 1024
 
 
 def use_banded2d(H: int, W: int, kh: int, kw: int, itemsize: int) -> bool:
-    hw = (H + 2 * (kh // 2)) * (W + 2 * (kw // 2))
-    return H * W * hw * itemsize <= _A2_BYTES_MAX
+    return (H * W) * (H * W) * itemsize <= _A2_BYTES_MAX
 
 
 def build_banded2d(w: Array, H: int, W: int) -> Array:
-    """(kh, kw, C) taps -> (C, H*W, Hp*Wp) doubly-blocked Toeplitz:
-    A2[c, h*W + w_, hp*Wp + wp] = w[hp - h, wp - w_, c] inside the band."""
+    """(kh, kw, C) taps -> (C, H*W, H*W) doubly-blocked Toeplitz over the
+    unpadded extent:
+    A2[c, h*W + w_, h2*W + w2] = w[h2 - h + kh//2, w2 - w_ + kw//2, c]."""
     kh, kw, C = w.shape
-    Hp, Wp = H + 2 * (kh // 2), W + 2 * (kw // 2)
-    kk = jnp.arange(Hp)[None, :] - jnp.arange(H)[:, None]     # (H, Hp)
-    jj = jnp.arange(Wp)[None, :] - jnp.arange(W)[:, None]     # (W, Wp)
+    kk = (jnp.arange(H)[None, :] - jnp.arange(H)[:, None]) + kh // 2
+    jj = (jnp.arange(W)[None, :] - jnp.arange(W)[:, None]) + kw // 2
     vk = (kk >= 0) & (kk < kh)
     vj = (jj >= 0) & (jj < kw)
     a4 = w[jnp.clip(kk, 0, kh - 1)[:, :, None, None],
-           jnp.clip(jj, 0, kw - 1)[None, None, :, :]]         # (H,Hp,W,Wp,C)
+           jnp.clip(jj, 0, kw - 1)[None, None, :, :]]   # (H,H2,W,W2,C)
     a4 = jnp.where((vk[:, :, None, None] & vj[None, None])[..., None], a4, 0)
-    a4 = a4.transpose(4, 0, 2, 1, 3)                          # (C,H,W,Hp,Wp)
-    return a4.reshape(C, H * W, Hp * Wp)
+    a4 = a4.transpose(4, 0, 2, 1, 3)                    # (C,H,W,H2,W2)
+    return a4.reshape(C, H * W, H * W)
 
 
 def _fwd2d_kernel(a_ref, x_ref, o_ref, *, cb: int, prec):
@@ -229,19 +223,17 @@ def _fwd2d_kernel(a_ref, x_ref, o_ref, *, cb: int, prec):
             precision=prec).astype(o_ref.dtype)
 
 
-def _pick_cb2d(hw: int, hpwp: int, nb: int, itemsize: int) -> int:
-    per_ch = (hw * hpwp + (hw + hpwp) * nb) * itemsize
+def _pick_cb2d(hw: int, nb: int, itemsize: int) -> int:
+    per_ch = (hw * hw + 2 * hw * nb) * itemsize
     return max(1, min(32, (2 * 1024 * 1024) // per_ch))
 
 
 def dwconv_banded2d_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
                            cb: Optional[int] = None,
                            interpret: bool = False) -> Array:
-    """xc: (C, Hp, Wp, N) padded C-major input; w: (kh, kw, C).
+    """xc: (C, H, W, N) C-major UNPADDED input; w: (kh, kw, C).
     Returns (C, H, W, N) via one Toeplitz dot per channel."""
-    C, Hp, Wp, N = xc.shape
-    kh, kw, _ = w.shape
-    H, W = Hp - 2 * (kh // 2), Wp - 2 * (kw // 2)
+    C, H, W, N = xc.shape
     if nb is None:
         nb = batch_block(N, xc.dtype)
         if nb is None:
@@ -249,11 +241,10 @@ def dwconv_banded2d_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
             nb = N
     assert N % nb == 0, (N, nb)
     if cb is None:
-        cb = _pick_cb2d(H * W, Hp * Wp, nb,
-                        jnp.dtype(xc.dtype).itemsize)
+        cb = _pick_cb2d(H * W, nb, jnp.dtype(xc.dtype).itemsize)
     cp = _round_up(C, cb)
     A2 = _pad_channels(build_banded2d(w, H, W).astype(xc.dtype), cp)
-    xf = _pad_channels(xc.reshape(C, Hp * Wp, N), cp)
+    xf = _pad_channels(xc.reshape(C, H * W, N), cp)
 
     kernel = functools.partial(_fwd2d_kernel, cb=cb,
                                prec=_precision(xc.dtype))
@@ -261,9 +252,9 @@ def dwconv_banded2d_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
         kernel,
         grid=(cp // cb, N // nb),
         in_specs=[
-            pl.BlockSpec((cb, H * W, Hp * Wp), lambda c, b: (c, 0, 0),
+            pl.BlockSpec((cb, H * W, H * W), lambda c, b: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, Hp * Wp, nb), lambda c, b: (c, 0, b),
+            pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
@@ -294,10 +285,9 @@ def wgrad_banded2d_cmajor(xc: Array, dy: Array, nb: Optional[int] = None,
                           cb: Optional[int] = None,
                           interpret: bool = False) -> Array:
     """dA2[c, hw, pq] = sum_n dy[c, hw, n] * xc[c, pq, n] — the 2-D
-    Toeplitz correlation. xc: (C, Hp, Wp, N) padded input, dy: (C, H, W, N).
-    Returns fp32 (C, H*W, Hp*Wp), accumulated over batch blocks."""
-    C, Hp, Wp, N = xc.shape
-    _, H, W, _ = dy.shape
+    Toeplitz correlation over the unpadded extent. xc, dy: (C, H, W, N).
+    Returns fp32 (C, H*W, H*W), accumulated over batch blocks."""
+    C, H, W, N = xc.shape
     if nb is None:
         nb = batch_block(N, xc.dtype)
         if nb is None:
@@ -305,9 +295,9 @@ def wgrad_banded2d_cmajor(xc: Array, dy: Array, nb: Optional[int] = None,
             nb = N
     assert N % nb == 0, (N, nb)
     if cb is None:
-        cb = _pick_cb2d(H * W, Hp * Wp, nb, jnp.dtype(xc.dtype).itemsize)
+        cb = _pick_cb2d(H * W, nb, jnp.dtype(xc.dtype).itemsize)
     cp = _round_up(C, cb)
-    xf = _pad_channels(xc.reshape(C, Hp * Wp, N), cp)
+    xf = _pad_channels(xc.reshape(C, H * W, N), cp)
     df = _pad_channels(dy.reshape(C, H * W, N), cp)
     kernel = functools.partial(_wgrad2d_kernel, cb=cb,
                                prec=_precision(xc.dtype))
@@ -317,27 +307,26 @@ def wgrad_banded2d_cmajor(xc: Array, dy: Array, nb: Optional[int] = None,
         in_specs=[
             pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, Hp * Wp, nb), lambda c, b: (c, 0, b),
+            pl.BlockSpec((cb, H * W, nb), lambda c, b: (c, 0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cb, H * W, Hp * Wp), lambda c, b: (c, 0, 0),
+        out_specs=pl.BlockSpec((cb, H * W, H * W), lambda c, b: (c, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, H * W, Hp * Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cp, H * W, H * W), jnp.float32),
         interpret=interpret,
     )(df, xf)
     return out[:C]
 
 
 def band_extract2d(dA2: Array, kh: int, kw: int, H: int, W: int) -> Array:
-    """(C, H*W, Hp*Wp) -> (kh, kw, C) tap grads:
-    dw[k, j, c] = sum_{h,w} dA2[c, h*W+w, (h+k)*Wp + (w+j)]."""
+    """(C, H*W, H*W) -> (kh, kw, C) tap grads:
+    dw[k, j, c] = sum_{h,w} dA2[c, h*W+w, (h+k-kh//2)*W + (w+j-kw//2)]."""
     C = dA2.shape[0]
-    Hp, Wp = H + 2 * (kh // 2), W + 2 * (kw // 2)
-    dA5 = dA2.reshape(C, H, W, Hp, Wp)
-    m1 = (jnp.arange(Hp)[None, :] - jnp.arange(H)[:, None])
-    M1 = jax.nn.one_hot(m1, kh, dtype=dA2.dtype)              # (H, Hp, kh)
-    m2 = (jnp.arange(Wp)[None, :] - jnp.arange(W)[:, None])
-    M2 = jax.nn.one_hot(m2, kw, dtype=dA2.dtype)              # (W, Wp, kw)
+    dA5 = dA2.reshape(C, H, W, H, W)
+    m1 = (jnp.arange(H)[None, :] - jnp.arange(H)[:, None]) + kh // 2
+    M1 = jax.nn.one_hot(m1, kh, dtype=dA2.dtype)        # (H, H2, kh)
+    m2 = (jnp.arange(W)[None, :] - jnp.arange(W)[:, None]) + kw // 2
+    M2 = jax.nn.one_hot(m2, kw, dtype=dA2.dtype)        # (W, W2, kw)
     e = jnp.einsum("chwpq,hpk->cwqk", dA5, M1,
                    precision=lax.Precision.HIGHEST)
     return jnp.einsum("cwqk,wqj->kjc", e, M2,
@@ -350,12 +339,12 @@ def band_extract2d(dA2: Array, kh: int, kw: int, H: int, W: int) -> Array:
 
 
 def _wgrad_kernel(dy_ref, x_ref, o_ref, *, s: int, H: int, W: int,
-                  Hp: int, nb: int, cb: int, prec):
+                  nb: int, cb: int, prec):
     b = pl.program_id(1)
     for i in range(cb):
         dy2 = dy_ref[i].reshape(H, W * nb)
         for j in range(s):
-            xs = x_ref[i, :, j:j + W, :].reshape(Hp, W * nb)
+            xs = x_ref[i, :, j:j + W, :].reshape(H, W * nb)
             val = lax.dot_general(dy2, xs, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32,
                                   precision=prec)
@@ -373,14 +362,14 @@ def wgrad_banded_cmajor(xc: Array, dy: Array, s: int,
                         nb: Optional[int] = None,
                         cb: Optional[int] = None,
                         interpret: bool = False) -> Array:
-    """dA[c, j, h, hp] = sum_{w,n} dy[c,h,w,n] * xc[c,hp,w+j,n].
+    """dA[c, j, h, h2] = sum_{w,n} dy[c,h,w,n] * xc[c,h2,w+j,n].
 
-    xc: (C, Hp, Wp, N) padded input; dy: (C, H, W, N) output cotangent.
-    Returns fp32 (C, s, H, Hp). Requires the per-program batch block to be
+    xc: (C, H, Wp, N) W-padded input; dy: (C, H, W, N) output cotangent.
+    Returns fp32 (C, s, H, H). Requires the per-program batch block to be
     a multiple of 128 (or the whole batch if smaller — interpret/test mode
     only): the in-kernel (W, nb) -> (W*nb,) lane merge needs full lanes."""
-    C, Hp, Wp, N = xc.shape
-    _, H, W, _ = dy.shape
+    C, H, Wp, N = xc.shape
+    _, _, W, _ = dy.shape
     if nb is None:
         nb = batch_block(N, xc.dtype)
         if nb is None:
@@ -388,11 +377,11 @@ def wgrad_banded_cmajor(xc: Array, dy: Array, s: int,
             nb = N
     assert N % nb == 0, (N, nb)
     if cb is None:
-        cb = _pick_cb(Hp, Wp, nb, jnp.dtype(xc.dtype).itemsize)
+        cb = _pick_cb(H, Wp, nb, jnp.dtype(xc.dtype).itemsize)
     cp = _round_up(C, cb)
     xc = _pad_channels(xc, cp)
     dy = _pad_channels(dy, cp)
-    kernel = functools.partial(_wgrad_kernel, s=s, H=H, W=W, Hp=Hp, nb=nb,
+    kernel = functools.partial(_wgrad_kernel, s=s, H=H, W=W, nb=nb,
                                cb=cb, prec=_precision(xc.dtype))
     out = pl.pallas_call(
         kernel,
@@ -400,25 +389,25 @@ def wgrad_banded_cmajor(xc: Array, dy: Array, s: int,
         in_specs=[
             pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cb, Hp, Wp, nb), lambda c, b: (c, 0, 0, b),
+            pl.BlockSpec((cb, H, Wp, nb), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((cb, s, H, Hp), lambda c, b: (c, 0, 0, 0),
+        out_specs=pl.BlockSpec((cb, s, H, H), lambda c, b: (c, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((cp, s, H, Hp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cp, s, H, H), jnp.float32),
         interpret=interpret,
     )(dy, xc)
     return out if cp == C else out[:C]
 
 
 def band_extract(dA: Array, K: int) -> Array:
-    """(C, s, H, Hp) correlation matrices -> (K, s, C) tap grads:
-    dw[k, j, c] = sum_h dA[c, j, h, h + k]."""
-    C, s, H, Hp = dA.shape
+    """(C, s, H, H) correlation matrices -> (K, s, C) tap grads:
+    dw[k, j, c] = sum_h dA[c, j, h, h + k - K//2]."""
+    C, s, H, _ = dA.shape
     h = jnp.arange(H)[:, None, None]
-    hp = jnp.arange(Hp)[None, :, None]
+    h2 = jnp.arange(H)[None, :, None]
     k = jnp.arange(K)[None, None, :]
-    M = (hp - h == k).astype(dA.dtype)             # (H, Hp, K)
+    M = (h2 - h + K // 2 == k).astype(dA.dtype)         # (H, H2, K)
     return jnp.einsum("cjhq,hqk->kjc", dA, M,
                       precision=lax.Precision.HIGHEST)
 
@@ -428,15 +417,17 @@ def band_extract(dA: Array, K: int) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def _to_cmajor_padded(x: Array, ph: int, pw: int) -> Array:
+def _to_cmajor_wpad(x: Array, pw: int) -> Array:
+    """NHWC -> (C, H, W + 2*pw, N), padding the width only (the height is
+    contracted unpadded)."""
     xc = jnp.transpose(x, (3, 1, 2, 0))            # (C, H, W, N)
-    return jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    return jnp.pad(xc, ((0, 0), (0, 0), (pw, pw), (0, 0)))
 
 
 def _banded_fwd_core(x: Array, w: Array, interpret: bool) -> Array:
     """kh >= kw orientation. x NHWC, w (K, s, C) -> NHWC."""
-    K, s, _ = w.shape
-    xcp = _to_cmajor_padded(x, K // 2, s // 2)
+    _, s, _ = w.shape
+    xcp = _to_cmajor_wpad(x, s // 2)
     y = dwconv_banded_cmajor(xcp, w, interpret=interpret)
     return jnp.transpose(y, (3, 1, 2, 0))
 
@@ -446,8 +437,8 @@ def _banded_fwd(x: Array, w: Array, interpret: bool) -> Array:
     kh, kw, _ = w.shape
     _, H, W, _ = x.shape
     if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
-        xcp = _to_cmajor_padded(x, kh // 2, kw // 2)
-        y = dwconv_banded2d_cmajor(xcp, w, interpret=interpret)
+        xc = jnp.transpose(x, (3, 1, 2, 0))
+        y = dwconv_banded2d_cmajor(xc, w, interpret=interpret)
         y = jnp.transpose(y, (3, 1, 2, 0))
     elif kw > kh:
         y = _banded_fwd_core(jnp.transpose(x, (0, 2, 1, 3)),
@@ -464,7 +455,7 @@ def _banded_wgrad_core(x: Array, g: Array, K: int, s: int,
     is exact here: padded rows contribute 0 to the dA accumulation."""
     x, _ = _pad_batch(x)
     g, _ = _pad_batch(g)
-    xcp = _to_cmajor_padded(x, K // 2, s // 2)
+    xcp = _to_cmajor_wpad(x, s // 2)
     gc = jnp.transpose(g, (3, 1, 2, 0)).astype(x.dtype)
     dA = wgrad_banded_cmajor(xcp, gc, s, interpret=interpret)
     return band_extract(dA, K)
@@ -494,9 +485,9 @@ def _vjp_bwd(interpret, res, g):
     if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
         xp, _ = _pad_batch(x)
         gp, _ = _pad_batch(g)
-        xcp = _to_cmajor_padded(xp, kh // 2, kw // 2)
+        xc = jnp.transpose(xp, (3, 1, 2, 0))
         gc = jnp.transpose(gp, (3, 1, 2, 0)).astype(x.dtype)
-        dA2 = wgrad_banded2d_cmajor(xcp, gc, interpret=interpret)
+        dA2 = wgrad_banded2d_cmajor(xc, gc, interpret=interpret)
         dw = band_extract2d(dA2, kh, kw, H, W)
     elif kw > kh:
         dw = _banded_wgrad_core(jnp.transpose(x, (0, 2, 1, 3)),
@@ -526,33 +517,28 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
     x, n0 = _pad_batch(x)
     N, H, W, C = x.shape
     K, s, _ = w1.shape
-    ph, pw = K // 2, s // 2
+    pw = s // 2
     if scale1 is not None:
         w1 = w1 * scale1.astype(w1.dtype)
     if scale2 is not None:
         w2 = w2 * scale2.astype(w2.dtype)
 
+    xc = jnp.transpose(x, (3, 1, 2, 0))                  # (C, H, W, N)
     if use_banded2d(H, W, K, s, jnp.dtype(x.dtype).itemsize):
-        # small maps: one Toeplitz dot per channel per branch, shared
+        # tiny maps: one Toeplitz dot per channel per branch, shared
         # C-major layout, single transpose back
-        xc = jnp.transpose(x, (3, 1, 2, 0))
-        y1 = dwconv_banded2d_cmajor(
-            jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0))), w1,
-            interpret=interpret)
-        y2 = dwconv_banded2d_cmajor(
-            jnp.pad(xc, ((0, 0), (pw, pw), (ph, ph), (0, 0))), w2,
-            interpret=interpret)
+        y1 = dwconv_banded2d_cmajor(xc, w1, interpret=interpret)
+        y2 = dwconv_banded2d_cmajor(xc, w2, interpret=interpret)
         out = jnp.transpose(y1 + y2, (3, 1, 2, 0))
         return out if out.shape[0] == n0 else out[:n0]
 
-    # LoRA1: contract along H. layout (C, Hp, Wp, N)
-    xc = jnp.transpose(x, (3, 1, 2, 0))
-    xc1 = jnp.pad(xc, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    # LoRA1: contract along H; W carries the small s-halo
+    xc1 = jnp.pad(xc, ((0, 0), (0, 0), (pw, pw), (0, 0)))
     y1 = dwconv_banded_cmajor(xc1, w1, interpret=interpret)  # (C,H,W,N)
 
     # LoRA2: contract along W -> swap H/W and reuse the kernel
     xc2 = jnp.pad(jnp.transpose(xc, (0, 2, 1, 3)),
-                  ((0, 0), (ph, ph), (pw, pw), (0, 0)))      # (C, Wp, Hp, N)
+                  ((0, 0), (0, 0), (pw, pw), (0, 0)))        # (C, W, Hp', N)
     y2 = dwconv_banded_cmajor(xc2, jnp.transpose(w2, (1, 0, 2)),
                               interpret=interpret)           # (C, W, H, N)
     # both branch outputs transpose straight to NHWC inside one add-fusion

@@ -15,16 +15,17 @@ from slak_tpu.ops import pallas_banded as pb
 # (kh, kw, h, w) chosen so both regimes are exercised: tiny maps take the
 # full-2D Toeplitz kernel (use_banded2d), larger maps the 1-D banded kernel.
 SHAPES = [(13, 5, 6, 6), (5, 13, 6, 6), (9, 9, 6, 6),          # 2-D
+          (51, 5, 10, 12), (5, 51, 10, 12),                    # 2-D, big K
           (51, 5, 16, 16), (5, 51, 16, 16), (13, 13, 24, 24),  # 1-D
-          (51, 5, 10, 12), (13, 5, 10, 12)]                    # 1-D
+          (13, 5, 16, 16)]                                     # 1-D
 
 
 def test_regime_split():
+    # A2 footprint = (H*W)^2 * itemsize (unpadded Toeplitz)
     assert pb.use_banded2d(6, 6, 13, 5, 4)
-    assert not pb.use_banded2d(10, 12, 51, 5, 4)
+    assert pb.use_banded2d(10, 12, 51, 5, 4)
     assert not pb.use_banded2d(16, 16, 51, 5, 4)
-    # the SLaK-T stage map sizes at bf16: only stage 4 (7x7) -> 2-D;
-    # stage 3 measured 2.8x slower via 2-D (see _A2_BYTES_MAX note)
+    # the SLaK-T stage map sizes at bf16: only stage 4 (7x7) -> 2-D
     assert not pb.use_banded2d(56, 56, 51, 5, 2)
     assert not pb.use_banded2d(28, 28, 49, 5, 2)
     assert not pb.use_banded2d(14, 14, 47, 5, 2)
@@ -70,7 +71,7 @@ def test_banded_batch_blocked_accumulation(rng):
     n, h, w, c, kh, kw = 6, 8, 8, 2, 13, 5
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
-    xcp = pb._to_cmajor_padded(x, kh // 2, kw // 2)
+    xcp = pb._to_cmajor_wpad(x, kw // 2)
 
     y = pb.dwconv_banded_cmajor(xcp, wt, nb=2, interpret=True)
     want = jnp.transpose(depthwise_conv2d_xla(x, wt), (3, 1, 2, 0))
@@ -95,7 +96,7 @@ def test_banded_channel_blocked(rng):
     n, h, w, c, kh, kw = 4, 8, 8, 5, 13, 5
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
-    xcp = pb._to_cmajor_padded(x, kh // 2, kw // 2)
+    xcp = pb._to_cmajor_wpad(x, kw // 2)
     y = pb.dwconv_banded_cmajor(xcp, wt, nb=4, cb=3, interpret=True)
     want = jnp.transpose(depthwise_conv2d_xla(x, wt), (3, 1, 2, 0))
     np.testing.assert_allclose(np.asarray(y), np.asarray(want),
