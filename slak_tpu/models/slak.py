@@ -238,6 +238,32 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
 def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     shortcut = x
     y, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train, cfg=cfg)
+
+    # Fused LN+MLP tail (Pallas, ops/pallas_mlp.py): keeps the 4C-wide
+    # intermediate in VMEM — measured 1.41x/1.17x per stage-1/3 block over
+    # the XLA op sequence on v5e. Stage 4's (998, 3992) weights exceed the
+    # resident-VMEM gate and stay on the reference composition below.
+    # Training additionally requires the fused backward kernel to fit
+    # (C <= 256): hiding the composition from XLA's autodiff without a
+    # real backward kernel measured 43 ms/step SLOWER than native remat.
+    from slak_tpu.ops.depthwise import _on_tpu
+    from slak_tpu.ops.pallas_mlp import (fused_mlp, fused_mlp_bwd_ok,
+                                         fused_mlp_ok)
+    c, c4 = p["pwconv1"]["w"].shape
+    if (cfg.conv_impl != "xla"
+            and fused_mlp_ok(c, c4, jnp.dtype(y.dtype).itemsize, _on_tpu())
+            and (not train or fused_mlp_bwd_ok(c))):
+        gamma = (p["gamma"] if "gamma" in p
+                 else jnp.ones((c,), jnp.float32))
+        args = (y, shortcut, p["norm"]["scale"], p["norm"]["bias"],
+                p["pwconv1"]["w"], p["pwconv1"]["b"],
+                p["pwconv2"]["w"], p["pwconv2"]["b"], gamma)
+        if train and dp_rate > 0.0 and rng is not None:
+            branch = fused_mlp(*args, False)
+            return shortcut + drop_path(branch, dp_rate, rng, train), \
+                {"lk": lk_state}
+        return fused_mlp(*args, True), {"lk": lk_state}
+
     y = layer_norm(y, p["norm"]["scale"], p["norm"]["bias"])
     y = jnp.dot(y, p["pwconv1"]["w"].astype(y.dtype),
                 preferred_element_type=jnp.float32).astype(y.dtype)

@@ -1,0 +1,319 @@
+"""Fused ConvNeXt-block MLP tail — LN + pwconv1 + GELU + pwconv2 + gamma
+(+ residual) in one Pallas pass over token tiles.
+
+The reference runs this as separate ops (``models/SLaK.py:145-166``:
+``norm -> pwconv1 -> act -> pwconv2 -> gamma* -> residual``); on TPU the
+4C-wide intermediate (e.g. (128, 56, 56, 496) = 397 MB bf16 at SLaK-T
+stage 1, bs128) round-trips HBM between every op, so the sequence runs at
+~17-25 TFLOPS despite being the model's FLOPs bulk. Keeping the 4C tile in
+VMEM measured 6.06 -> 4.31 ms per stage-1 block fwd (1.41x) and
+3.24 -> 2.78 at stage 3 (v5e, bs128 bf16, 2026-08-17).
+
+Layout: tokens (N*H*W) tiled on the sublane axis, channels on lanes; the
+(C, 4C) / (4C, C) weights stay resident in VMEM across the token grid
+(constant index_map), which caps the fused path at weight footprints
+<= _W_BYTES_MAX — SLaK-T stages 1-3; stage 4 (998 -> 3992) stays on XLA.
+
+GELU is the exact erf formulation, computed with the Abramowitz-Stegun
+7.1.26 rational approximation (|err| <= 1.5e-7, below bf16 resolution;
+Mosaic exposes no erf primitive).
+
+Backward: a second fused kernel recomputes h/a/g per token tile in VMEM
+and emits dy alongside dW1/dW2/db/dgamma/dLN accumulated across the token
+grid (constant out index_map + predicated init, the same pattern as the
+banded wgrad) — the TPU analog of shipping dedicated backward kernels the
+way the reference does for its conv. The backward tile needs ~3 fp32
+(Tt, 4C) intermediates resident, so it is gated to C <= _BWD_C_MAX
+(SLaK-T stages 1-2); wider stages train through the plain XLA composition
+(measured: an XLA-recompute custom VJP is ~43 ms/step WORSE than XLA's
+own selective remat — never hide the composition from the autodiff
+without a real backward kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_W_BYTES_MAX = 9 * 1024 * 1024
+_BWD_C_MAX = 256
+LN_EPS = 1e-6
+_INV_SQRT2 = 0.7071067811865476
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _erf_as(x):
+    """Abramowitz-Stegun 7.1.26 rational erf, |err| <= 1.5e-7."""
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+             - 0.284496736) * t + 0.254829592) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_as(x * 0.7071067811865476))
+
+
+def fused_mlp_ok(c: int, c4: int, itemsize: int, on_tpu: bool) -> bool:
+    return on_tpu and 2 * c * c4 * itemsize <= _W_BYTES_MAX
+
+
+def _mlp_kernel(y_ref, res_ref, p_ref, w1_ref, w2_ref, o_ref, *, C: int,
+                add_residual: bool):
+    y = y_ref[...]
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
+    h = (yf - mu) * lax.rsqrt(var + LN_EPS)
+    h = h * p_ref[0, :C] + p_ref[1, :C]
+    a = lax.dot_general(h.astype(y.dtype), w1_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    g = _gelu_exact(a + p_ref[2])
+    o = lax.dot_general(g.astype(y.dtype), w2_ref[...],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+    o = (o + p_ref[3, :C]) * p_ref[4, :C]
+    if add_residual:
+        o = res_ref[...].astype(jnp.float32) + o
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _pick_tt(c: int) -> int:
+    # keep the (Tt, 4C) fp32 activation tile ~2-4 MB
+    return 1024 if c <= 256 else 512
+
+
+def _pick_tt_bwd(c: int) -> int:
+    # the backward tile holds ~3 fp32 (Tt, 4C) intermediates plus the
+    # resident dW accumulators; C=249 at Tt=1024 measured 16.86M scoped
+    # VMEM (limit 16M)
+    return 1024 if c <= 128 else 512
+
+
+def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                  add_residual, interpret):
+    """(T, C) tokens-major core. Returns (T, C)."""
+    T, C = y2.shape
+    C4 = w1.shape[1]
+    Tt = _pick_tt(C)
+    Tp = -(-T // Tt) * Tt
+    if Tp != T:
+        y2 = jnp.pad(y2, ((0, Tp - T), (0, 0)))
+        res2 = jnp.pad(res2, ((0, Tp - T), (0, 0)))
+    pk = jnp.zeros((8, C4), jnp.float32)
+    pk = pk.at[0, :C].set(ln_scale).at[1, :C].set(ln_bias).at[2].set(b1)
+    pk = pk.at[3, :C].set(b2).at[4, :C].set(gamma)
+    kern = functools.partial(_mlp_kernel, C=C, add_residual=add_residual)
+    out = pl.pallas_call(
+        kern,
+        grid=(Tp // Tt,),
+        in_specs=[
+            pl.BlockSpec((Tt, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Tt, C), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, C), y2.dtype),
+        interpret=interpret,
+    )(y2, res2, pk, w1.astype(y2.dtype), w2.astype(y2.dtype))
+    return out[:T] if Tp != T else out
+
+
+def fused_mlp_bwd_ok(c: int) -> bool:
+    return c <= _BWD_C_MAX
+
+
+def _mlp_bwd_kernel(y_ref, do_ref, p_ref, w1_ref, w2_ref,
+                    dy_ref, dw1_ref, dw2_ref, dv1_ref, dv2_ref, *, C: int):
+    """Recompute h/a/g for the tile, emit dy; accumulate dW1 (C, C4),
+    dW2 (C4, C), dv1 (1, C4) = db1 and dv2 (4, C) = [db2; dgamma; dlns;
+    dlnb] across the token grid."""
+    t = pl.program_id(0)
+    y = y_ref[...]
+    cdt = y.dtype
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
+    inv = lax.rsqrt(var + LN_EPS)
+    xhat = (yf - mu) * inv
+    h = xhat * p_ref[0, :C] + p_ref[1, :C]
+    hb = h.astype(cdt)
+    a = lax.dot_general(hb, w1_ref[...], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32) + p_ref[2]
+    erf_a = _erf_as(a * _INV_SQRT2)
+    g = 0.5 * a * (1.0 + erf_a)
+    gb = g.astype(cdt)
+
+    dout = do_ref[...].astype(jnp.float32)
+    # o_pre = gb @ W2 + b2 (recomputed for dgamma only)
+    o_pre = lax.dot_general(gb, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + p_ref[3, :C]
+    dgamma = jnp.sum(dout * o_pre, axis=0, keepdims=True)        # (1, C)
+    do = dout * p_ref[4, :C]                                     # * gamma
+    db2 = jnp.sum(do, axis=0, keepdims=True)                     # (1, C)
+    dob = do.astype(cdt)
+    # dW2 += g^T @ do
+    dw2 = lax.dot_general(gb, dob, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)    # (C4, C)
+    # dg = do @ W2^T ; da = dg * gelu'(a)
+    dg = lax.dot_general(dob, w2_ref[...], (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)     # (Tt, C4)
+    gp = (0.5 * (1.0 + erf_a)
+          + a * _INV_SQRT_2PI * jnp.exp(-0.5 * a * a))
+    da = dg * gp
+    db1 = jnp.sum(da, axis=0, keepdims=True)                     # (1, C4)
+    dab = da.astype(cdt)
+    # dW1 += h^T @ da
+    dw1 = lax.dot_general(hb, dab, (((0,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32)    # (C, C4)
+    # dh = da @ W1^T
+    dh = lax.dot_general(dab, w1_ref[...], (((1,), (1,)), ((), ())),
+                         preferred_element_type=jnp.float32)     # (Tt, C)
+    dlns = jnp.sum(dh * xhat, axis=0, keepdims=True)             # (1, C)
+    dlnb = jnp.sum(dh, axis=0, keepdims=True)                    # (1, C)
+    # LN backward
+    dxh = dh * p_ref[0, :C]
+    m1 = jnp.mean(dxh, axis=1, keepdims=True)
+    m2 = jnp.mean(dxh * xhat, axis=1, keepdims=True)
+    dy = inv * (dxh - m1 - xhat * m2)
+    dy_ref[...] = dy.astype(dy_ref.dtype)
+
+    dv2 = jnp.concatenate([db2, dgamma, dlns, dlnb], axis=0)     # (4, C)
+
+    @pl.when(t == 0)
+    def _():
+        dw1_ref[...] = dw1
+        dw2_ref[...] = dw2
+        dv1_ref[...] = db1
+        dv2_ref[...] = dv2
+
+    @pl.when(t > 0)
+    def _():
+        dw1_ref[...] += dw1
+        dw2_ref[...] += dw2
+        dv1_ref[...] += db1
+        dv2_ref[...] += dv2
+
+
+def _mlp_bwd_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                interpret):
+    T, C = y2.shape
+    C4 = w1.shape[1]
+    Tt = _pick_tt_bwd(C)
+    Tp = -(-T // Tt) * Tt
+    if Tp != T:
+        y2 = jnp.pad(y2, ((0, Tp - T), (0, 0)))
+        do2 = jnp.pad(do2, ((0, Tp - T), (0, 0)))
+    pk = jnp.zeros((8, C4), jnp.float32)
+    pk = pk.at[0, :C].set(ln_scale).at[1, :C].set(ln_bias).at[2].set(b1)
+    pk = pk.at[3, :C].set(b2).at[4, :C].set(gamma)
+    kern = functools.partial(_mlp_bwd_kernel, C=C)
+    dy, dw1, dw2, dv1, dv2 = pl.pallas_call(
+        kern,
+        grid=(Tp // Tt,),
+        in_specs=[
+            pl.BlockSpec((Tt, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tt, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Tt, C), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, C), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, C), y2.dtype),
+            jax.ShapeDtypeStruct((C, C4), jnp.float32),
+            jax.ShapeDtypeStruct((C4, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C4), jnp.float32),
+            jax.ShapeDtypeStruct((4, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(y2, do2, pk, w1.astype(y2.dtype), w2.astype(y2.dtype))
+    dy = dy[:T] if Tp != T else dy
+    return dy, dw1, dw2, dv1[0], dv2[0], dv2[1], dv2[2], dv2[3]
+
+
+def _reference_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                   add_residual):
+    """The exact op composition being fused (models/layers.py layer_norm +
+    models/slak.py pwconv pair) — used for the VJP backward and as the
+    non-TPU fallback."""
+    yf = y.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=-1, keepdims=True)
+    h = ((yf - mu) * lax.rsqrt(var + LN_EPS) * ln_scale
+         + ln_bias).astype(y.dtype)
+    a = jnp.dot(h, w1.astype(h.dtype),
+                preferred_element_type=jnp.float32) + b1
+    g = jax.nn.gelu(a, approximate=False).astype(y.dtype)
+    o = jnp.dot(g, w2.astype(g.dtype),
+                preferred_element_type=jnp.float32) + b2
+    o = o * gamma
+    if add_residual:
+        o = res.astype(jnp.float32) + o
+    return o.astype(y.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_mlp(y: Array, res: Array, ln_scale: Array, ln_bias: Array,
+              w1: Array, b1: Array, w2: Array, b2: Array, gamma: Array,
+              add_residual: bool = True, interpret: bool = False) -> Array:
+    """NHWC fused block tail: ``res + gamma * pw2(gelu(pw1(LN(y))))``
+    (or just the branch when ``add_residual=False`` — the train-mode
+    drop-path multiplies outside). y, res: (N, H, W, C)."""
+    shp = y.shape
+    out = _mlp_fused_2d(y.reshape(-1, shp[-1]), res.reshape(-1, shp[-1]),
+                        ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                        add_residual, interpret)
+    return out.reshape(shp)
+
+
+def _vjp_fwd(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+             add_residual, interpret):
+    out = fused_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                    add_residual, interpret)
+    return out, (y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _vjp_bwd(add_residual, interpret, resids, g):
+    y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma = resids
+    shp = y.shape
+    C = shp[-1]
+    if not fused_mlp_bwd_ok(C):
+        # e.g. differentiating an *eval* forward (ERF analysis) at a width
+        # whose backward tile exceeds VMEM: XLA-recompute fallback
+        _, vjp = jax.vjp(
+            lambda *a: _reference_mlp(*a, add_residual=add_residual),
+            y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+        return vjp(g)
+    dy, dw1, dw2, db1, db2, dgamma, dlns, dlnb = _mlp_bwd_2d(
+        y.reshape(-1, C), g.reshape(-1, C), ln_scale, ln_bias,
+        w1, b1, w2, b2, gamma, interpret)
+    dres = g if add_residual else jnp.zeros_like(res)
+    return (dy.reshape(shp).astype(y.dtype), dres,
+            dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dgamma.astype(gamma.dtype))
+
+
+fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
