@@ -100,6 +100,11 @@ def main(args):
         teacher = getattr(CW, args.model)(num_classes=args.nb_classes,
                                           img_size=args.input_size)
         tparams = teacher.init(jax.random.PRNGKey(0))
+        if args.teacher_ckpt:
+            tparams = jax.tree_util.tree_map(
+                jnp.asarray, load_teacher_checkpoint(args.teacher_ckpt,
+                                                     args.model))
+            print(f"loaded teacher from {args.teacher_ckpt}")
         teacher_apply = teacher.teacher_apply(tparams)
         teacher_channels = teacher.cfg.embed_dim * 8
     elif args.model.startswith("resnet"):
@@ -118,6 +123,11 @@ def main(args):
         from slak_tpu.models import mobile as MB
         teacher = getattr(MB, args.model)(num_classes=args.nb_classes)
         tp_, ts_ = teacher.init(jax.random.PRNGKey(0))
+        if args.teacher_ckpt:
+            tp_, ts_ = load_teacher_checkpoint(args.teacher_ckpt, args.model)
+            tp_ = jax.tree_util.tree_map(jnp.asarray, tp_)
+            ts_ = jax.tree_util.tree_map(jnp.asarray, ts_)
+            print(f"loaded teacher from {args.teacher_ckpt}")
         teacher_apply = teacher.teacher_apply(tp_, ts_)
         teacher_channels = teacher.cfg.blocks[-1][1]
     else:

@@ -30,7 +30,16 @@ def hard_sigmoid(x):
     return jax.nn.relu6(x + 3.0) / 6.0
 
 
-_ACTS = {"relu": jax.nn.relu, "hswish": hard_swish, "swish": jax.nn.silu}
+_ACTS = {"relu": jax.nn.relu, "hswish": hard_swish, "swish": jax.nn.silu,
+         "sigmoid": jax.nn.sigmoid, "hard_sigmoid": hard_sigmoid}
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    """timm1/models/layers/helpers.py make_divisible (round_limit 0.9)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
 
 
 # block spec: (expand_ratio, cout, kernel, stride, se_ratio, act)
@@ -74,6 +83,25 @@ class MobileConfig:
     head_ch: int = 1280
     num_classes: int = 1000
     stem_act: str = "hswish"
+    # SE semantics differ between the two families
+    # (timm1/models/efficientnet_blocks.py:32-41 + the partial bindings in
+    # mobilenetv3.py:366 / efficientnet.py defaults):
+    #   EfficientNet: reduce from the BLOCK INPUT chs, divisor 1, block's
+    #     own act inside SE, sigmoid gate;
+    #   MobileNetV3: reduce from the expanded (mid) chs, divisor 8, ReLU,
+    #     hard-sigmoid gate — for every SE regardless of block act.
+    se_from_block_in: bool = False
+    se_divisor: int = 8
+    se_act: str = "relu"            # 'relu' | 'block' (= block's act)
+    se_gate: str = "hard_sigmoid"   # 'hard_sigmoid' | 'sigmoid'
+    # head: EfficientNet = conv+BN+act BEFORE pool
+    # (efficientnet.py:435-446); MobileNetV3 = pool THEN biased conv+act,
+    # no BN (mobilenetv3.py:114-117,154-156)
+    head_after_pool: bool = True
+
+    def se_channels(self, cin: int, mid: int, se_ratio: float) -> int:
+        base = cin if self.se_from_block_in else mid
+        return make_divisible(base * se_ratio, self.se_divisor)
 
 
 def _conv_init(rng, kh, kw, cin, cout, groups=1):
@@ -107,7 +135,7 @@ def init(rng: Array, cfg: MobileConfig) -> Tuple[Dict, Dict]:
         bp["dw"] = _conv_init(next(keys), k, k, mid, mid, groups=mid)
         bp["dw_bn"], bs["dw_bn"] = _bn_init(mid)
         if se > 0:
-            se_ch = max(int(mid * se), 8)
+            se_ch = cfg.se_channels(cin, mid, se)
             bp["se_reduce"] = _conv_init(next(keys), 1, 1, mid, se_ch)
             bp["se_reduce"]["b"] = jnp.zeros((se_ch,))
             bp["se_expand"] = _conv_init(next(keys), 1, 1, se_ch, mid)
@@ -119,7 +147,10 @@ def init(rng: Array, cfg: MobileConfig) -> Tuple[Dict, Dict]:
         cin = cout
 
     params["head_conv"] = _conv_init(next(keys), 1, 1, cin, cfg.head_ch)
-    params["head_bn"], state["head_bn"] = _bn_init(cfg.head_ch)
+    if cfg.head_after_pool:
+        params["head_conv"]["b"] = jnp.zeros((cfg.head_ch,))
+    else:
+        params["head_bn"], state["head_bn"] = _bn_init(cfg.head_ch)
     params["classifier"] = {
         "w": trunc_normal(next(keys), (cfg.head_ch, cfg.num_classes)),
         "b": jnp.zeros((cfg.num_classes,))}
@@ -155,22 +186,30 @@ def apply(params: Dict, state: Dict, x: Array, *, cfg: MobileConfig
         y = act(_bn(_conv(y, bp["dw"], stride, groups=mid),
                     bp["dw_bn"], bs["dw_bn"]))
         if "se_reduce" in bp:
+            se_act = act if cfg.se_act == "block" else _ACTS[cfg.se_act]
             se = jnp.mean(y, axis=(1, 2), keepdims=True)
             se = _conv(se, bp["se_reduce"]) + bp["se_reduce"]["b"]
-            se = jax.nn.relu(se)
+            se = se_act(se)
             se = _conv(se, bp["se_expand"]) + bp["se_expand"]["b"]
-            gate = hard_sigmoid(se) if act_name == "hswish" \
-                else jax.nn.sigmoid(se)
-            y = y * gate.astype(y.dtype)
+            y = y * _ACTS[cfg.se_gate](se).astype(y.dtype)
         y = _bn(_conv(y, bp["project"]), bp["project_bn"], bs["project_bn"])
         if stride == 1 and shortcut.shape[-1] == y.shape[-1]:
             y = y + shortcut
         x = y
 
     feature = x
-    x = act0(_bn(_conv(x, params["head_conv"]), params["head_bn"],
-                 state["head_bn"]))
-    pooled = jnp.mean(x, axis=(1, 2))
+    if cfg.head_after_pool:
+        # MobileNetV3: pool -> biased 1x1 conv -> act, no BN
+        # (timm1/models/mobilenetv3.py:114-117,154-156)
+        x = jnp.mean(x, axis=(1, 2), keepdims=True)
+        x = _conv(x, params["head_conv"]) + params["head_conv"]["b"]
+        pooled = act0(x)[:, 0, 0, :]
+    else:
+        # EfficientNet: conv -> BN -> act -> pool
+        # (timm1/models/efficientnet.py:435-446,462-466)
+        x = act0(_bn(_conv(x, params["head_conv"]), params["head_bn"],
+                     state["head_bn"]))
+        pooled = jnp.mean(x, axis=(1, 2))
     logits = (jnp.dot(pooled, params["classifier"]["w"].astype(pooled.dtype))
               + params["classifier"]["b"]).astype(jnp.float32)
     return logits, feature
@@ -198,11 +237,20 @@ def mobilenetv3_large_100(**kw) -> MobileNet:
     return MobileNet(MobileConfig(**kw))
 
 
+def _effnet_kw(kw):
+    kw.setdefault("se_from_block_in", True)
+    kw.setdefault("se_divisor", 1)
+    kw.setdefault("se_act", "block")
+    kw.setdefault("se_gate", "sigmoid")
+    kw.setdefault("head_after_pool", False)
+    kw.setdefault("stem_act", "swish")
+    return kw
+
+
 def efficientnet_b0(**kw) -> MobileNet:
     kw.setdefault("blocks", tuple(EFFICIENTNET_B0))
     kw.setdefault("stem_ch", 32)
-    kw.setdefault("stem_act", "swish")
-    return MobileNet(MobileConfig(**kw))
+    return MobileNet(MobileConfig(**_effnet_kw(kw)))
 
 
 def tf_efficientnet_b3_ns(**kw) -> MobileNet:
@@ -221,5 +269,4 @@ def tf_efficientnet_b3_ns(**kw) -> MobileNet:
     kw.setdefault("blocks", tuple(blocks))
     kw.setdefault("stem_ch", 40)
     kw.setdefault("head_ch", 1536)
-    kw.setdefault("stem_act", "swish")
-    return MobileNet(MobileConfig(**kw))
+    return MobileNet(MobileConfig(**_effnet_kw(kw)))

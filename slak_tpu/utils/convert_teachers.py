@@ -268,6 +268,66 @@ def convert_resnet_state_dict(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     return params, state
 
 
+def convert_mobilenet_state_dict(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """timm mobilenetv3 / efficientnet state_dict -> (params, state) for
+    :mod:`slak_tpu.models.mobile` (the flat-block MBConv model).
+
+    Stage/block structure is derived from the keys themselves
+    (``blocks.{stage}.{i}.*``); block type from key presence —
+    ``conv_pwl`` marks an InvertedResidual (expand ``conv_pw``/bn1,
+    depthwise ``conv_dw``/bn2, project ``conv_pwl``/bn3), otherwise a
+    DepthwiseSeparableConv (``conv_dw``/bn1, project ``conv_pw``/bn2) —
+    mirroring ``timm1/models/efficientnet_blocks.py:90-134,149-199``.
+    Head: a top-level ``bn2`` means the EfficientNet conv+BN-before-pool
+    head (``efficientnet.py:435-446``); otherwise the MobileNetV3 biased
+    conv-after-pool head (``mobilenetv3.py:114-117``)."""
+    sd = _unwrap(sd)
+    params: Dict[str, Any] = {"blocks": []}
+    state: Dict[str, Any] = {"blocks": []}
+
+    params["stem"] = {"w": _conv_hwio(sd["conv_stem.weight"])}
+    params["stem_bn"], state["stem_bn"] = _bn_split(sd, "bn1")
+
+    n_stages = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"blocks\.(\d+)\.", k)))
+    for si in range(n_stages):
+        depth = 1 + max(int(m.group(1)) for k in sd
+                        if (m := re.match(rf"blocks\.{si}\.(\d+)\.", k)))
+        for bi in range(depth):
+            b = f"blocks.{si}.{bi}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if f"{b}.conv_pwl.weight" in sd:      # InvertedResidual
+                bp["expand"] = {"w": _conv_hwio(sd[f"{b}.conv_pw.weight"])}
+                bp["expand_bn"], bs["expand_bn"] = _bn_split(sd, f"{b}.bn1")
+                bp["dw"] = {"w": _conv_hwio(sd[f"{b}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn_split(sd, f"{b}.bn2")
+                proj, proj_bn = f"{b}.conv_pwl", f"{b}.bn3"
+            else:                                  # DepthwiseSeparableConv
+                bp["dw"] = {"w": _conv_hwio(sd[f"{b}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn_split(sd, f"{b}.bn1")
+                proj, proj_bn = f"{b}.conv_pw", f"{b}.bn2"
+            if f"{b}.se.conv_reduce.weight" in sd:
+                bp["se_reduce"] = {
+                    "w": _conv_hwio(sd[f"{b}.se.conv_reduce.weight"]),
+                    "b": sd[f"{b}.se.conv_reduce.bias"]}
+                bp["se_expand"] = {
+                    "w": _conv_hwio(sd[f"{b}.se.conv_expand.weight"]),
+                    "b": sd[f"{b}.se.conv_expand.bias"]}
+            bp["project"] = {"w": _conv_hwio(sd[proj + ".weight"])}
+            bp["project_bn"], bs["project_bn"] = _bn_split(sd, proj_bn)
+            params["blocks"].append(bp)
+            state["blocks"].append(bs)
+
+    params["head_conv"] = {"w": _conv_hwio(sd["conv_head.weight"])}
+    if "bn2.running_mean" in sd:                   # EfficientNet head
+        params["head_bn"], state["head_bn"] = _bn_split(sd, "bn2")
+    else:                                          # MobileNetV3 head
+        params["head_conv"]["b"] = sd["conv_head.bias"]
+    params["classifier"] = _linear(sd, "classifier")
+    return params, state
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
@@ -291,4 +351,7 @@ def load_teacher_checkpoint(path: str, model_name: str):
         return convert_swin_state_dict(ckpt)
     if model_name.startswith("resnet"):
         return convert_resnet_state_dict(ckpt)
+    if model_name.startswith(("mobilenet", "efficientnet",
+                              "tf_efficientnet")):
+        return convert_mobilenet_state_dict(ckpt)
     raise ValueError(f"no teacher converter for {model_name!r}")

@@ -498,3 +498,168 @@ def test_cswin_converter_logit_parity(rng):
     got, feat = model.apply(params, jnp.asarray(x))
     assert feat.shape == (2, 7, 7, 64)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV3 / EfficientNet twin (timm1/models/efficientnet_blocks.py
+# naming: conv_stem/bn1, blocks.s.i.{conv_pw,bn1,conv_dw,bn2,se.conv_*,
+# conv_pwl,bn3}, conv_head[,bn2], classifier)
+# ---------------------------------------------------------------------------
+
+
+def _make_div(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += 8
+    return new_v
+
+
+class _TorchSE(nn.Module):
+    def __init__(self, c, rd, act, gate):
+        super().__init__()
+        self.conv_reduce = nn.Conv2d(c, rd, 1, bias=True)
+        self.conv_expand = nn.Conv2d(rd, c, 1, bias=True)
+        self.act, self.gate = act, gate
+
+    def forward(self, x):
+        s = x.mean((2, 3), keepdim=True)
+        s = self.conv_expand(self.act(self.conv_reduce(s)))
+        return x * self.gate(s)
+
+
+class _TorchDS(nn.Module):
+    """DepthwiseSeparableConv (efficientnet_blocks.py:90-134)."""
+
+    def __init__(self, cin, cout, k, stride, act, se):
+        super().__init__()
+        self.conv_dw = nn.Conv2d(cin, cin, k, stride, k // 2, groups=cin,
+                                 bias=False)
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.se = se or nn.Identity()
+        self.conv_pw = nn.Conv2d(cin, cout, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.act = act
+        self.has_skip = stride == 1 and cin == cout
+
+    def forward(self, x):
+        sc = x
+        x = self.act(self.bn1(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn2(self.conv_pw(x))
+        return x + sc if self.has_skip else x
+
+
+class _TorchIR(nn.Module):
+    """InvertedResidual (efficientnet_blocks.py:149-199)."""
+
+    def __init__(self, cin, cout, mid, k, stride, act, se):
+        super().__init__()
+        self.conv_pw = nn.Conv2d(cin, mid, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(mid)
+        self.conv_dw = nn.Conv2d(mid, mid, k, stride, k // 2, groups=mid,
+                                 bias=False)
+        self.bn2 = nn.BatchNorm2d(mid)
+        self.se = se or nn.Identity()
+        self.conv_pwl = nn.Conv2d(mid, cout, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(cout)
+        self.act = act
+        self.has_skip = stride == 1 and cin == cout
+
+    def forward(self, x):
+        sc = x
+        x = self.act(self.bn1(self.conv_pw(x)))
+        x = self.act(self.bn2(self.conv_dw(x)))
+        x = self.se(x)
+        x = self.bn3(self.conv_pwl(x))
+        return x + sc if self.has_skip else x
+
+
+class _TorchMBNet(nn.Module):
+    def __init__(self, spec, stem_ch, head_ch, classes, act, mnv3_head,
+                 se_from_block_in, se_divisor, se_act, se_gate):
+        super().__init__()
+        self.conv_stem = nn.Conv2d(3, stem_ch, 3, 2, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(stem_ch)
+        self.act = act
+        stages = []
+        cin = stem_ch
+        for stage in spec:
+            blocks = []
+            for (exp, cout, k, stride, se_ratio) in stage:
+                mid = _make_div(cin * exp)
+                se = None
+                if se_ratio > 0:
+                    base = cin if se_from_block_in else mid
+                    rd = _make_div(base * se_ratio, se_divisor)
+                    se = _TorchSE(mid if exp != 1 else cin, rd, se_act,
+                                  se_gate)
+                if exp == 1:
+                    blocks.append(_TorchDS(cin, cout, k, stride, act, se))
+                else:
+                    blocks.append(_TorchIR(cin, cout, mid, k, stride, act,
+                                           se))
+                cin = cout
+            stages.append(nn.ModuleList(blocks))
+        self.blocks = nn.ModuleList(stages)
+        self.mnv3_head = mnv3_head
+        if mnv3_head:
+            self.conv_head = nn.Conv2d(cin, head_ch, 1, bias=True)
+        else:
+            self.conv_head = nn.Conv2d(cin, head_ch, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(head_ch)
+        self.classifier = nn.Linear(head_ch, classes)
+
+    def forward(self, x):
+        x = self.act(self.bn1(self.conv_stem(x)))
+        for stage in self.blocks:
+            for b in stage:
+                x = b(x)
+        if self.mnv3_head:
+            x = x.mean((2, 3), keepdim=True)
+            x = self.act(self.conv_head(x))[:, :, 0, 0]
+        else:
+            x = self.act(self.bn2(self.conv_head(x)))
+            x = x.mean((2, 3))
+        return self.classifier(x)
+
+
+@pytest.mark.parametrize("family", ["mobilenetv3", "efficientnet"])
+def test_mobile_converter_logit_parity(rng, family):
+    from slak_tpu.models.mobile import MobileConfig, MobileNet
+    from slak_tpu.utils.convert_teachers import convert_mobilenet_state_dict
+
+    if family == "mobilenetv3":
+        # ds(e1, no se) + IR stage with MNv3 SE semantics, head after pool
+        spec = [[(1, 8, 3, 1, 0.0)],
+                [(4, 12, 3, 2, 0.25), (3, 12, 5, 1, 0.25)]]
+        tw = _TorchMBNet(spec, 8, 24, 10, nn.Hardswish(), True,
+                         False, 8, nn.ReLU(), nn.Hardsigmoid())
+        cfg = MobileConfig(
+            blocks=((1, 8, 3, 1, 0.0, "hswish"),
+                    (4, 12, 3, 2, 0.25, "hswish"),
+                    (3, 12, 5, 1, 0.25, "hswish")),
+            stem_ch=8, head_ch=24, num_classes=10, stem_act="hswish")
+    else:
+        # ds(e1, WITH se reduced from block input) + IR, conv+BN head
+        spec = [[(1, 8, 3, 1, 0.25)],
+                [(6, 12, 5, 2, 0.25), (6, 12, 3, 1, 0.25)]]
+        tw = _TorchMBNet(spec, 8, 24, 10, nn.SiLU(), False,
+                         True, 1, nn.SiLU(), nn.Sigmoid())
+        cfg = MobileConfig(
+            blocks=((1, 8, 3, 1, 0.25, "swish"),
+                    (6, 12, 5, 2, 0.25, "swish"),
+                    (6, 12, 3, 1, 0.25, "swish")),
+            stem_ch=8, head_ch=24, num_classes=10, stem_act="swish",
+            se_from_block_in=True, se_divisor=1, se_act="block",
+            se_gate="sigmoid", head_after_pool=False)
+
+    _randomize(tw, rng)
+    tw.eval()
+    x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tw(torch.from_numpy(x).permute(0, 3, 1, 2)).numpy()
+
+    params, state = convert_mobilenet_state_dict(tw.state_dict())
+    m = MobileNet(cfg)
+    got, _ = m.apply(params, state, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
