@@ -57,21 +57,31 @@ def test_fused_mlp_grads_match_reference(rng):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_mlp_bwd_fallback_wide(rng, monkeypatch):
-    """C above the backward-kernel gate: the VJP falls back to the
-    XLA-recompute path and still matches reference autodiff."""
+def test_fused_mlp_bwd_chunked_wide(rng, monkeypatch):
+    """C above the monolithic backward gate: the F-chunked kernel (grid
+    over C4 chunks, dh accumulated in the dy ref, LN backward finalized on
+    the last chunk) matches reference autodiff — incl. a non-dividing C4
+    (padding path, NF=3)."""
     monkeypatch.setattr(pm, "_BWD_C_MAX", 4)
+    monkeypatch.setattr(pm, "_pick_fc", lambda c4: 12)
     n, h, w, c = 2, 3, 3, 8
     y = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     res = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     ps = _params(rng, c)
     r = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
-    gf = jax.grad(lambda y_: jnp.sum(
-        pm.fused_mlp(y_, res, *ps, True, True) * r))(y)
-    gr = jax.grad(lambda y_: jnp.sum(
-        pm._reference_mlp(y_, res, *ps, add_residual=True) * r))(y)
-    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
-                               rtol=2e-4, atol=2e-4)
+
+    def lf(y_, res_, *ps_):
+        return jnp.sum(pm.fused_mlp(y_, res_, *ps_, True, True) * r)
+
+    def lr(y_, res_, *ps_):
+        return jnp.sum(pm._reference_mlp(y_, res_, *ps_,
+                                         add_residual=True) * r)
+
+    gf = jax.grad(lf, argnums=tuple(range(9)))(y, res, *ps)
+    gr = jax.grad(lr, argnums=tuple(range(9)))(y, res, *ps)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_fused_mlp_bf16(rng):
