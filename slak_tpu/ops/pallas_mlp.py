@@ -89,16 +89,20 @@ def _mlp_kernel(y_ref, res_ref, p_ref, w1_ref, w2_ref, o_ref, *, C: int,
     o_ref[...] = o.astype(o_ref.dtype)
 
 
-def _pick_tt(c: int) -> int:
-    # keep the (Tt, 4C) fp32 activation tile ~2-4 MB
-    return 1024 if c <= 256 else 512
+def _pick_tt(c: int, itemsize: int = 2) -> int:
+    # keep the (Tt, 4C) fp32 activation tile ~2-4 MB; fp32 operands double
+    # the in/out/weight blocks too (C=249 fp32 at Tt=1024 measured 18.1M
+    # scoped VMEM, limit 16M), so halve the tile
+    tt = 1024 if c <= 256 else 512
+    return tt // 2 if itemsize >= 4 else tt
 
 
-def _pick_tt_bwd(c: int) -> int:
+def _pick_tt_bwd(c: int, itemsize: int = 2) -> int:
     # the backward tile holds ~3 fp32 (Tt, 4C) intermediates plus the
     # resident dW accumulators; C=249 at Tt=1024 measured 16.86M scoped
     # VMEM (limit 16M)
-    return 1024 if c <= 128 else 512
+    tt = 1024 if c <= 128 else 512
+    return tt // 2 if itemsize >= 4 else tt
 
 
 def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
@@ -106,7 +110,7 @@ def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     """(T, C) tokens-major core. Returns (T, C)."""
     T, C = y2.shape
     C4 = w1.shape[1]
-    Tt = _pick_tt(C)
+    Tt = _pick_tt(C, jnp.dtype(y2.dtype).itemsize)
     Tp = -(-T // Tt) * Tt
     if Tp != T:
         y2 = jnp.pad(y2, ((0, Tp - T), (0, 0)))
@@ -213,7 +217,7 @@ def _mlp_bwd_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                 interpret):
     T, C = y2.shape
     C4 = w1.shape[1]
-    Tt = _pick_tt_bwd(C)
+    Tt = _pick_tt_bwd(C, jnp.dtype(y2.dtype).itemsize)
     Tp = -(-T // Tt) * Tt
     if Tp != T:
         y2 = jnp.pad(y2, ((0, Tp - T), (0, 0)))
@@ -347,9 +351,11 @@ def _mlp_bwd_chunked_kernel(y_ref, do_ref, pc_ref, pb1_ref, w1_ref, w2_ref,
         dy_ref[...] = inv * (dxh - m1 - xhat * m2)
 
 
-def _pick_fc(c4: int) -> int:
-    # chunk width: ~1024, rounded up to the 128-lane block granularity
-    nf = -(-c4 // 1024)
+def _pick_fc(c4: int, itemsize: int = 2) -> int:
+    # chunk width: ~1024 (bf16) / ~512 (fp32 — weight chunks double),
+    # rounded up to the 128-lane block granularity
+    target = 1024 if itemsize < 4 else 512
+    nf = -(-c4 // target)
     return -(-(-(-c4 // nf)) // 128) * 128
 
 
@@ -357,7 +363,7 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                         interpret):
     T, C = y2.shape
     C4 = w1.shape[1]
-    Fc = _pick_fc(C4)
+    Fc = _pick_fc(C4, jnp.dtype(y2.dtype).itemsize)
     C4p = -(-C4 // Fc) * Fc
     NF = C4p // Fc
     if C4p != C4:

@@ -63,7 +63,7 @@ def test_fused_mlp_bwd_chunked_wide(rng, monkeypatch):
     the last chunk) matches reference autodiff — incl. a non-dividing C4
     (padding path, NF=3)."""
     monkeypatch.setattr(pm, "_BWD_C_MAX", 4)
-    monkeypatch.setattr(pm, "_pick_fc", lambda c4: 12)
+    monkeypatch.setattr(pm, "_pick_fc", lambda c4, itemsize=2: 12)
     n, h, w, c = 2, 3, 3, 8
     y = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
     res = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
