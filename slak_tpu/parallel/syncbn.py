@@ -13,8 +13,8 @@ global-view sharding propagation.
 from __future__ import annotations
 
 import jax
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from slak_tpu.parallel.mesh import DATA_AXIS
 
@@ -38,5 +38,5 @@ def make_syncbn_train_step(model, train_cfg, mask_cfg, lr_schedule,
         step, mesh=mesh,
         in_specs=(P(), (P(axis_name), P(axis_name)), P()),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded, donate_argnums=0)

@@ -33,7 +33,8 @@ def cross_entropy(logits: Array, labels: Array) -> Array:
 
 
 def accuracy_topk(logits: Array, labels: Array, k: int = 1) -> Array:
-    """timm1/utils/metrics.py:25 top-k accuracy (fraction in [0,1])."""
-    topk = jax.lax.top_k(logits, k)[1]
+    """timm1/utils/metrics.py:25 top-k accuracy (fraction in [0,1]).
+    k is clamped to the class count (timm does the same via min(topk))."""
+    topk = jax.lax.top_k(logits, min(k, logits.shape[-1]))[1]
     hit = jnp.any(topk == labels[:, None], axis=-1)
     return jnp.mean(hit.astype(jnp.float32))
