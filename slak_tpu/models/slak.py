@@ -52,6 +52,10 @@ class SLaKConfig:
     layer_scale_init_value: float = 1e-6
     head_init_scale: float = 1.0
     conv_impl: str = "auto"          # 'auto' | 'xla' | 'grouped' | 'banded'
+    mlp_impl: str = "auto"           # 'auto' (fused Pallas when it fits) | 'xla'
+    # Run the Pallas kernels in interpret mode (CPU testing / multi-chip
+    # dryruns of the real kernel routing; lifts the batch%128 constraint).
+    pallas_interpret: bool = False
     bn_axis_name: Optional[str] = None  # SyncBN over this mesh axis if set
 
     @property
@@ -194,9 +198,11 @@ def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
     impl = cfg.conv_impl
     if train and impl == "auto":
         from slak_tpu.ops.depthwise import banded_train_ok
-        impl = "banded" if banded_train_ok(x, p["w"]) else "xla"
+        impl = ("banded" if banded_train_ok(x, p["w"], cfg.pallas_interpret)
+                else "xla")
     # conv bias only in bn-less variants (official ConvNeXt dwconv)
-    y = depthwise_conv2d(x, p["w"], b=p.get("b"), impl=impl)
+    y = depthwise_conv2d(x, p["w"], b=p.get("b"), impl=impl,
+                         interpret=cfg.pallas_interpret)
     new_s = dict(s)
     if "bn" in p:
         y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
@@ -210,7 +216,8 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
     """ReparamLargeKernelConv forward (reference models/SLaK.py:89-100)."""
     if "reparam" in p:
         y = depthwise_conv2d(x, p["reparam"]["w"], b=p["reparam"]["b"],
-                             impl=cfg.conv_impl)
+                             impl=cfg.conv_impl,
+                             interpret=cfg.pallas_interpret)
         return y, s
 
     branch_names = [n for n in ("LoRA1", "LoRA2", "origin", "small") if n in p]
@@ -224,7 +231,8 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
             ws.append(p[n]["w"])
             scales.append(mult)
             biases.append(add)
-        y = large_kernel_conv(x, ws, scales, biases, impl=cfg.conv_impl)
+        y = large_kernel_conv(x, ws, scales, biases, impl=cfg.conv_impl,
+                              interpret=cfg.pallas_interpret)
         return y, s
 
     out = None
@@ -250,8 +258,10 @@ def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     from slak_tpu.ops.pallas_mlp import (fused_mlp, fused_mlp_bwd_ok,
                                          fused_mlp_ok)
     c, c4 = p["pwconv1"]["w"].shape
-    if (cfg.conv_impl != "xla"
-            and fused_mlp_ok(c, c4, jnp.dtype(y.dtype).itemsize, _on_tpu())
+    interp = cfg.pallas_interpret
+    if (cfg.mlp_impl != "xla"
+            and fused_mlp_ok(c, c4, jnp.dtype(y.dtype).itemsize,
+                             _on_tpu() or interp)
             and (not train or fused_mlp_bwd_ok(c))):
         gamma = (p["gamma"] if "gamma" in p
                  else jnp.ones((c,), jnp.float32))
@@ -259,10 +269,10 @@ def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
                 p["pwconv1"]["w"], p["pwconv1"]["b"],
                 p["pwconv2"]["w"], p["pwconv2"]["b"], gamma)
         if train and dp_rate > 0.0 and rng is not None:
-            branch = fused_mlp(*args, False)
+            branch = fused_mlp(*args, False, interp)
             return shortcut + drop_path(branch, dp_rate, rng, train), \
                 {"lk": lk_state}
-        return fused_mlp(*args, True), {"lk": lk_state}
+        return fused_mlp(*args, True, interp), {"lk": lk_state}
 
     y = layer_norm(y, p["norm"]["scale"], p["norm"]["bias"])
     y = jnp.dot(y, p["pwconv1"]["w"].astype(y.dtype),

@@ -60,17 +60,22 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
 
 
 def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
-                     impl: str = "auto") -> Array:
+                     impl: str = "auto", interpret: bool = False) -> Array:
     """Public depthwise conv. impl in {'auto', 'xla', 'mxu', 'grouped'}.
 
     'auto' picks the grouped block-diagonal MXU path for large kernels on
     TPU (see :mod:`slak_tpu.ops.dwconv_grouped`) and XLA's native lowering
     otherwise. 'banded' is the per-channel banded-GEMM Pallas path with a
     custom MXU VJP (see :mod:`slak_tpu.ops.pallas_banded`) — the training
-    fast path, selected by the model layer per measured shape gates."""
+    fast path, selected by the model layer per measured shape gates.
+    NB: forcing 'banded' zero-pads the batch up to a multiple of 128 when
+    compiled (lane-axis constraint) — a bs<32 caller pays up to 128x wasted
+    lane work; the model-layer gates only route batches >= 32 here.
+    ``interpret`` runs the Pallas path in interpret mode (CPU tests /
+    multi-chip dryruns; lifts the batch padding)."""
     if impl == "banded":
         from slak_tpu.ops.pallas_banded import depthwise_conv2d_banded
-        out = depthwise_conv2d_banded(x, w)
+        out = depthwise_conv2d_banded(x, w, interpret)
     elif impl == "mxu":
         from slak_tpu.ops.dwconv_mxu import depthwise_conv2d_mxu
         out = depthwise_conv2d_mxu(x, w)
@@ -91,7 +96,7 @@ def _on_tpu() -> bool:
         return False
 
 
-def banded_train_ok(x: Array, w: Array) -> bool:
+def banded_train_ok(x: Array, w: Array, interpret: bool = False) -> bool:
     """Gate for routing a *training* depthwise conv to the banded Pallas
     path with its custom MXU VJP (fwd + dgrad + wgrad all banded dots).
 
@@ -109,12 +114,15 @@ def banded_train_ok(x: Array, w: Array) -> bool:
     => gate at max(kh, kw) >= 31, plus the tiny-map 2-D regime."""
     from slak_tpu.ops.pallas_banded import batch_block, use_banded2d
     kh, kw, _ = w.shape
-    return (_on_tpu() and kh % 2 == 1 and kw % 2 == 1
-            and batch_block(x.shape[0], x.dtype) is not None
-            and (max(kh, kw) >= 31
-                 or (max(kh, kw) >= 13     # tiny (5,5) branches stay on XLA
-                     and use_banded2d(x.shape[1], x.shape[2], kh, kw,
-                                      jnp.dtype(x.dtype).itemsize))))
+    if kh % 2 != 1 or kw % 2 != 1:
+        return False
+    if not interpret and not (
+            _on_tpu() and batch_block(x.shape[0], x.dtype) is not None):
+        return False
+    return (max(kh, kw) >= 31
+            or (max(kh, kw) >= 13     # tiny (5,5) branches stay on XLA
+                and use_banded2d(x.shape[1], x.shape[2], kh, kw,
+                                 jnp.dtype(x.dtype).itemsize)))
 
 
 def _grouped_ok(x: Array, w: Array) -> bool:
@@ -137,6 +145,7 @@ def large_kernel_conv(
     scales: Optional[Sequence[Array]] = None,
     biases: Optional[Sequence[Array]] = None,
     impl: str = "auto",
+    interpret: bool = False,
 ) -> Array:
     """Sum of several same-padded stride-1 depthwise convs over the same input,
     each optionally followed by a per-channel affine (fused BN):
@@ -166,15 +175,43 @@ def large_kernel_conv(
                # 128. Measured v5e stage1 pair eval (ms): bs32 banded 10.7
                # vs grouped 21.2; bs64 11.1 vs 15.4; bs128 9.9 vs 15.4 —
                # banded wins down to bs32 even with 4x lane padding.
-               and (batch_block(x.shape[0], x.dtype) is not None
+               and (interpret
+                    or batch_block(x.shape[0], x.dtype) is not None
                     or x.shape[0] >= 32))
     if is_pair and (impl == "banded" or (impl == "auto" and _on_tpu())):
         from slak_tpu.ops.pallas_banded import lk_pair_banded
-        y = lk_pair_banded(x, weights[0], weights[1], scales[0], scales[1])
+        # Fold every extra branch that FITS INSIDE LoRA1's (K, s) taps —
+        # i.e. the (s, s) small branch — directly into LoRA1's tap tensor
+        # (scales applied first, center-padded): exact for stride-1
+        # same-padded odd kernels, the same identity the reference uses at
+        # merge time (models/SLaK.py:102-122) — applied here at EVAL time,
+        # killing the small branch's conv + affine + add entirely
+        # (measured r3: ~3 ops/block of full-activation elementwise).
+        kh0, kw0 = weights[0].shape[0], weights[0].shape[1]
+        w1e = weights[0] if scales[0] is None \
+            else weights[0] * scales[0].astype(weights[0].dtype)
+        bias_total = None
+        leftover = []
+        for w, s, b in zip(weights[2:], scales[2:], biases[2:]):
+            if w.shape[0] <= kh0 and w.shape[1] <= kw0:
+                we = w if s is None else w * s.astype(w.dtype)
+                ph = (kh0 - w.shape[0]) // 2
+                pw = (kw0 - w.shape[1]) // 2
+                w1e = w1e + jnp.pad(
+                    we, ((ph, kh0 - w.shape[0] - ph),
+                         (pw, kw0 - w.shape[1] - pw), (0, 0)))
+                if b is not None:
+                    bias_total = b if bias_total is None else bias_total + b
+            else:
+                leftover.append((w, s, b))
         for b in biases[:2]:
             if b is not None:
-                y = y + b.astype(y.dtype)
-        for w, s, b in zip(weights[2:], scales[2:], biases[2:]):
+                bias_total = b if bias_total is None else bias_total + b
+        y = lk_pair_banded(x, w1e, weights[1], None, scales[1],
+                           interpret=interpret)
+        if bias_total is not None:
+            y = y + bias_total.astype(y.dtype)
+        for w, s, b in leftover:
             z = depthwise_conv2d_xla(x, w)
             if s is not None:
                 z = z * s.astype(z.dtype)
@@ -215,7 +252,7 @@ def large_kernel_conv(
 
     out = None
     for w, s, b in zip(weights, scales, biases):
-        y = depthwise_conv2d(x, w, impl=impl)
+        y = depthwise_conv2d(x, w, impl=impl, interpret=interpret)
         if s is not None:
             y = y * s.astype(y.dtype)
         if b is not None:

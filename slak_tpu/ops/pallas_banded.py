@@ -83,13 +83,14 @@ def batch_block(n: int, dtype) -> Optional[int]:
     return 128
 
 
-def _pad_batch(x: Array):
+def _pad_batch(x: Array, interpret: bool = False):
     """Zero-pad the NHWC batch up to a multiple of 128 (exact: padded rows
     produce padded outputs that are sliced away; they contribute zero to
-    wgrad). Returns (padded, original_n)."""
+    wgrad). Returns (padded, original_n). Interpret mode has no lane-block
+    constraint, so it skips the padding."""
     n = x.shape[0]
     np_ = -(-n // 128) * 128
-    if np_ == n:
+    if interpret or np_ == n:
         return x, n
     return jnp.pad(x, ((0, np_ - n), (0, 0), (0, 0), (0, 0))), n
 
@@ -182,21 +183,32 @@ def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
 
 
 # ---------------------------------------------------------------------------
-# full-2D Toeplitz variant (tiny maps: one MXU dot per channel)
+# full-2D Toeplitz variant (small maps: one MXU dot per channel)
 #
-# At tiny map sizes (e.g. 7x7) the per-(channel, j) 1-D dots are tiny and
-# issue-bound. Flattening BOTH spatial dims into a doubly-blocked Toeplitz
-# matrix turns the whole conv into a single (H*W, H*W) @ (H*W, nb) dot per
-# channel — no padding at all (same zero-row argument as the 1-D band),
-# no in-kernel slicing, and symmetric in H/W so rectangular twins need no
-# orientation swap. Gated by _A2_BYTES_MAX on the A2 footprint.
+# Flattening BOTH spatial dims into a doubly-blocked Toeplitz matrix turns
+# the whole conv into a single (H*W, H*W) @ (H*W, nb) dot per channel — no
+# padding at all (same zero-row argument as the 1-D band), no in-kernel
+# slicing, and symmetric in H/W so rectangular twins need no orientation
+# swap.
+#
+# Dispatch (MEASURED, tools/probe_2d.py, v5e 2026-08-17): the streaming
+# model "1-D = min(kh,kw) x-passes vs 2-D = ceil(H*W/128) M-tile passes"
+# predicts 2-D wins whenever ceil(H*W/128) < min(kh,kw), but fwd+bwd train
+# chains measure 2-D LOSING the moment the Toeplitz matrix needs a second
+# 128-row M-tile — stage 3 (14x14, 2 tiles, (47,5)): 1-D 5.92 ms vs 2-D
+# 7.45 ms; stage 2 (28x28, 7 tiles, (49,5)): 8.15 vs 30.7. Per-tile grid
+# overhead + re-streaming x per M-tile erase the modelled saving. So the
+# gate is exactly "one M-tile": H*W <= 128 (stage 4's 7x7, the round-2
+# win, where the whole conv is a single MXU dot per channel).
 # ---------------------------------------------------------------------------
 
 _A2_BYTES_MAX = 64 * 1024
 
 
 def use_banded2d(H: int, W: int, kh: int, kw: int, itemsize: int) -> bool:
-    return (H * W) * (H * W) * itemsize <= _A2_BYTES_MAX
+    hw = H * W
+    return (hw <= 128 and 1 < min(kh, kw)
+            and hw * hw * itemsize <= _A2_BYTES_MAX)
 
 
 def build_banded2d(w: Array, H: int, W: int) -> Array:
@@ -433,7 +445,7 @@ def _banded_fwd_core(x: Array, w: Array, interpret: bool) -> Array:
 
 
 def _banded_fwd(x: Array, w: Array, interpret: bool) -> Array:
-    x, n = _pad_batch(x)
+    x, n = _pad_batch(x, interpret)
     kh, kw, _ = w.shape
     _, H, W, _ = x.shape
     if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
@@ -449,18 +461,6 @@ def _banded_fwd(x: Array, w: Array, interpret: bool) -> Array:
     return y if y.shape[0] == n else y[:n]
 
 
-def _banded_wgrad_core(x: Array, g: Array, K: int, s: int,
-                       interpret: bool) -> Array:
-    """kh >= kw orientation: (K, s, C) tap grads, fp32. Zero batch padding
-    is exact here: padded rows contribute 0 to the dA accumulation."""
-    x, _ = _pad_batch(x)
-    g, _ = _pad_batch(g)
-    xcp = _to_cmajor_wpad(x, s // 2)
-    gc = jnp.transpose(g, (3, 1, 2, 0)).astype(x.dtype)
-    dA = wgrad_banded_cmajor(xcp, gc, s, interpret=interpret)
-    return band_extract(dA, K)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def depthwise_conv2d_banded(x: Array, w: Array,
                             interpret: bool = False) -> Array:
@@ -472,31 +472,64 @@ def depthwise_conv2d_banded(x: Array, w: Array,
 
 
 def _vjp_fwd(x, w, interpret):
-    return _banded_fwd(x, w, interpret), (x, w)
+    """Forward that SAVES the C-major operand: the backward reuses it for
+    wgrad and derives the cotangent's C-major form once for both dgrad and
+    wgrad — 2 fewer full-tensor relayouts per branch backward than
+    recomputing them from the NHWC residuals (measured ~1 ms per relayout
+    at stage-1 bs128; see the round-3 train profile in ROADMAP.md)."""
+    kh, kw, _ = w.shape
+    xp, n = _pad_batch(x, interpret)
+    _, H, W, _ = xp.shape
+    if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
+        xc = jnp.transpose(xp, (3, 1, 2, 0))             # (C, H, W, Np)
+        y = dwconv_banded2d_cmajor(xc, w, interpret=interpret)
+        y = jnp.transpose(y, (3, 1, 2, 0))
+        return (y if y.shape[0] == n else y[:n]), (xc, w)
+    if kw > kh:
+        # swapped orientation: (C, W, Hp, Np), contraction along W
+        xcs = jnp.pad(jnp.transpose(xp, (3, 2, 1, 0)),
+                      ((0, 0), (0, 0), (kh // 2, kh // 2), (0, 0)))
+        y = dwconv_banded_cmajor(xcs, jnp.transpose(w, (1, 0, 2)),
+                                 interpret=interpret)    # (C, W, H, Np)
+        y = jnp.transpose(y, (3, 2, 1, 0))
+        return (y if y.shape[0] == n else y[:n]), (xcs, w)
+    xcp = _to_cmajor_wpad(xp, kw // 2)                   # (C, H, Wp, Np)
+    y = dwconv_banded_cmajor(xcp, w, interpret=interpret)
+    y = jnp.transpose(y, (3, 1, 2, 0))
+    return (y if y.shape[0] == n else y[:n]), (xcp, w)
 
 
 def _vjp_bwd(interpret, res, g):
-    x, w = res
+    xc_saved, w = res
     kh, kw, _ = w.shape
-    _, H, W, _ = x.shape
-    # dgrad: same conv, spatially flipped taps (exact for odd kh, kw)
-    dx = _banded_fwd(g.astype(x.dtype), w[::-1, ::-1, :].astype(x.dtype),
-                     interpret)
-    if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
-        xp, _ = _pad_batch(x)
-        gp, _ = _pad_batch(g)
-        xc = jnp.transpose(xp, (3, 1, 2, 0))
-        gc = jnp.transpose(gp, (3, 1, 2, 0)).astype(x.dtype)
-        dA2 = wgrad_banded2d_cmajor(xc, gc, interpret=interpret)
+    n, H, W, _ = g.shape
+    cdt = xc_saved.dtype
+    gp, _ = _pad_batch(g.astype(cdt), interpret)
+    wf = w[::-1, ::-1, :].astype(cdt)    # flipped taps: exact dgrad
+    if use_banded2d(H, W, kh, kw, jnp.dtype(cdt).itemsize):
+        gc = jnp.transpose(gp, (3, 1, 2, 0))             # (C, H, W, Np)
+        dxc = dwconv_banded2d_cmajor(gc, wf, interpret=interpret)
+        dA2 = wgrad_banded2d_cmajor(xc_saved, gc, interpret=interpret)
         dw = band_extract2d(dA2, kh, kw, H, W)
+        dx = jnp.transpose(dxc, (3, 1, 2, 0))
     elif kw > kh:
-        dw = _banded_wgrad_core(jnp.transpose(x, (0, 2, 1, 3)),
-                                jnp.transpose(g, (0, 2, 1, 3)),
-                                kw, kh, interpret)
-        dw = jnp.transpose(dw, (1, 0, 2))
+        gc = jnp.transpose(gp, (3, 2, 1, 0))             # (C, W, H, Np)
+        gcp = jnp.pad(gc, ((0, 0), (0, 0), (kh // 2, kh // 2), (0, 0)))
+        dxc = dwconv_banded_cmajor(gcp, jnp.transpose(wf, (1, 0, 2)),
+                                   interpret=interpret)  # (C, W, H, Np)
+        dA = wgrad_banded_cmajor(xc_saved, gc, kh, interpret=interpret)
+        dw = jnp.transpose(band_extract(dA, kw), (1, 0, 2))
+        dx = jnp.transpose(dxc, (3, 2, 1, 0))
     else:
-        dw = _banded_wgrad_core(x, g, kh, kw, interpret)
-    return dx.astype(x.dtype), dw.astype(w.dtype)
+        gc = jnp.transpose(gp, (3, 1, 2, 0))             # (C, H, W, Np)
+        gcp = jnp.pad(gc, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)))
+        dxc = dwconv_banded_cmajor(gcp, wf, interpret=interpret)
+        dA = wgrad_banded_cmajor(xc_saved, gc, kw, interpret=interpret)
+        dw = band_extract(dA, kh)
+        dx = jnp.transpose(dxc, (3, 1, 2, 0))
+    if dx.shape[0] != n:
+        dx = dx[:n]
+    return dx.astype(cdt), dw.astype(w.dtype)
 
 
 depthwise_conv2d_banded.defvjp(_vjp_fwd, _vjp_bwd)
@@ -514,7 +547,7 @@ def lk_pair_banded(x: Array, w1: Array, w2: Array,
     C-major banded passes. Per-branch folded-BN scales multiply the tap
     weights (free — they fold into the banded matrices). Returns the NHWC
     sum (biases are the caller's)."""
-    x, n0 = _pad_batch(x)
+    x, n0 = _pad_batch(x, interpret)
     N, H, W, C = x.shape
     K, s, _ = w1.shape
     pw = s // 2

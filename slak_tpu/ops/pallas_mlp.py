@@ -460,18 +460,23 @@ def _vjp_fwd(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
              add_residual, interpret):
     out = fused_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                     add_residual, interpret)
-    return out, (y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    # the backward needs res only for dres's shape/dtype (res.shape ==
+    # y.shape); saving the full tensor would keep the shortcut alive
+    # through every block's backward — save a dtype-carrying scalar instead.
+    res0 = jnp.zeros((), res.dtype)
+    return out, (y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
 
 
 def _vjp_bwd(add_residual, interpret, resids, g):
-    y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma = resids
+    y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma = resids
     shp = y.shape
     C = shp[-1]
     bwd = _mlp_bwd_2d if fused_mlp_bwd_ok(C) else _mlp_bwd_chunked_2d
     dy, dw1, dw2, db1, db2, dgamma, dlns, dlnb = bwd(
         y.reshape(-1, C), g.reshape(-1, C), ln_scale, ln_bias,
         w1, b1, w2, b2, gamma, interpret)
-    dres = g if add_residual else jnp.zeros_like(res)
+    dres = (g.astype(res0.dtype) if add_residual
+            else jnp.zeros(g.shape, res0.dtype))
     return (dy.reshape(shp).astype(y.dtype), dres,
             dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),

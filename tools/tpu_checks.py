@@ -123,7 +123,7 @@ def check_model(rng):
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
         params)
     cfg_a = m.cfg
-    cfg_x = dataclasses.replace(m.cfg, conv_impl="xla")
+    cfg_x = dataclasses.replace(m.cfg, conv_impl="xla", mlp_impl="xla")
     xb = jnp.asarray(rng.standard_normal((128, 96, 96, 3)), jnp.bfloat16)
     yb = jnp.asarray(np.arange(128) % 1000)
 
@@ -154,16 +154,25 @@ def check_model(rng):
 def perf(rng):
     from slak_tpu.ops import pallas_banded as pb
 
+    entropy = np.random.default_rng(
+        int.from_bytes(__import__("os").urandom(8), "little"))
+
     def timeit(fn, *args, reps=3):
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = 1e9
+        """Median of reps, each with entropy-fresh first arg and the timed
+        region ended by an actual D2H fetch: on the axon tunnel
+        block_until_ready does NOT synchronize and repeated identical
+        (executable, args) executions are served from a cross-process
+        result cache (bench.py:72-97, measured 2026-08-17)."""
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
+        ts = []
         for _ in range(reps):
+            a0 = jnp.asarray(entropy.standard_normal(args[0].shape),
+                             args[0].dtype)
+            jax.block_until_ready(a0)
             t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
-            best = min(best, time.perf_counter() - t0)
-        return best / ITERS
+            float(jnp.sum(fn(a0, *args[1:]).astype(jnp.float32)))
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2] / ITERS
 
     def chain(tag, n, h, w_, c, K, s):
         x = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.bfloat16)
@@ -210,14 +219,18 @@ def perf(rng):
     step = jax.jit(make_train_step(model, tc, mc, lr, None),
                    donate_argnums=0)
     st, m = step(st, (x, y), jax.random.PRNGKey(1))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])   # fetch = the only real sync on the tunnel
     ts = []
     for i in range(6):
+        # fresh batch bytes per step: the donated TrainState already
+        # differs step-to-step, but keep the input fresh too
+        x = jnp.asarray(rng.standard_normal(x.shape), jnp.bfloat16)
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
         st, m = step(st, (x, y), jax.random.PRNGKey(2 + i))
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         ts.append(time.perf_counter() - t0)
-    ms = 1e3 * sum(sorted(ts)[:3]) / 3
+    ms = 1e3 * sorted(ts)[len(ts) // 2]
     print(f"train step bs{BS}: {ms:.1f} ms -> {BS/(ms/1e3):.0f} img/s/chip",
           flush=True)
 
