@@ -1,6 +1,6 @@
 """Benchmark entry point — run by the driver on real TPU hardware.
 
-Prints ONE JSON line:
+Prints ONE JSON line (stdout):
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
 Metric: SLaK-T 51x51 (width 1.3, the paper's headline config) inference
@@ -9,21 +9,37 @@ baseline for the ratio is an A100 running the reference's CUTLASS
 implicit-GEMM extension; the reference repo publishes no throughput
 (SURVEY.md §6), so we pin the documented estimate A100_IMG_PER_SEC below
 from the reference's hardware context (A100, ~5.0 GMAC effective model,
-PyTorch fp16) — revise when a measured number lands.
+PyTorch fp16) — an estimate, not a measurement; the margin target is >= 2x
+so estimate error cannot erase it.
+
+Timing methodology (CLAUDE.md "timing harnesses are an adversarial game"):
+the axon tunnel can serve repeated identical (executable, args) executions
+near-instantly, and XLA propagates output slices backward through scan
+bodies. So the model runs L times *inside one jit* via ``lax.scan`` whose
+carry evolves with each iteration's output and whose body ends in a full
+reduction feeding the returned scalar; per-image time is the *slope*
+between two chain lengths (which also subtracts dispatch overhead), and
+the L2/L1 wall-time ratio is checked for linearity before the number is
+believed (warning on stderr if it drifts).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 A100_IMG_PER_SEC = 1000.0  # documented estimate of the reference on A100
 
 BATCH = 256
-WARMUP = 2
-ITERS = 10
+L1, L2 = 3, 9
 
 
 def main():
@@ -39,24 +55,59 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).standard_normal(
         (BATCH, 224, 224, 3)), jnp.bfloat16)
 
-    @jax.jit
-    def fwd(params, state, x):
-        logits, _ = model.apply(params, state, x, train=False)
-        # scalar output: keep device->host traffic off the timing (the
-        # tunnel makes large D2H transfers look like compute)
-        return jnp.sum(logits)
+    def chain(length):
+        @jax.jit
+        def run(params, state, x):
+            def body(carry, _):
+                logits, _ = model.apply(params, state, carry, train=False)
+                s = jnp.sum(logits)          # full reduction: no slice-DCE
+                # carry evolves with the output: no cross-iteration CSE
+                nxt = carry * (1.0 + 1e-12 * s).astype(carry.dtype)
+                return nxt, s
+            xf, ss = lax.scan(body, x, None, length=length)
+            return (jnp.sum(ss)
+                    + jnp.sum(xf[0, 0, 0].astype(jnp.float32)))
+        return run
 
-    for _ in range(WARMUP):
-        out = fwd(params, state, x)
-    jax.device_get(out)
+    # The tunnel serves repeated (executable, input-bytes) executions from
+    # a result cache that SURVIVES ACROSS PROCESSES (measured 2026-08-17:
+    # replaying byte patterns a probe script ran a minute earlier returned
+    # in ~0.3 ms with correct outputs; genuinely fresh bytes always time
+    # honestly and linearly in L). Defense in depth: (a) every timed call
+    # uses entropy-derived input bytes no process has ever sent, (b) the
+    # median over 5 calls drops stray anomalies, (c) the L2/L1 linearity
+    # check below guards the final number.
+    # ... and (d) the timed region ends in an ACTUAL D2H FETCH of the
+    # scalar output: measured (2026-08-17) ``block_until_ready`` returns
+    # without waiting on this tunnel — only the fetch synchronizes. The
+    # output is a scalar, so the fetch itself costs ~nothing.
+    entropy = np.random.default_rng(
+        int.from_bytes(os.urandom(8), "little"))
+    runs = {length: chain(length) for length in (L1, L2)}
+    times = {}
+    for length, run in runs.items():
+        compiled = run.lower(params, state, x).compile()
+        float(compiled(params, state, x))  # discard first (drains queue)
+        samples = []
+        for _ in range(5):
+            x2 = jnp.asarray(entropy.standard_normal(x.shape), x.dtype)
+            jax.block_until_ready(x2)
+            t0 = time.perf_counter()
+            float(compiled(params, state, x2))
+            samples.append(time.perf_counter() - t0)
+        times[length] = sorted(samples)[len(samples) // 2]
+        print(f"L={length} samples: "
+              + " ".join(f"{s:.4f}" for s in samples), file=sys.stderr)
 
-    t0 = time.time()
-    for _ in range(ITERS):
-        out = fwd(params, state, x)
-    jax.device_get(out)
-    dt = (time.time() - t0) / ITERS
+    slope = (times[L2] - times[L1]) / (L2 - L1)   # sec per model pass
+    ratio = times[L2] / times[L1]
+    expect = L2 / L1
+    if not 0.6 * expect <= ratio <= 1.4 * expect:
+        print(f"WARNING: chain wall time not linear in L "
+              f"(t{L2}/t{L1} = {ratio:.2f}, expected ~{expect:.2f}); "
+              f"timing may be cache-poisoned", file=sys.stderr)
 
-    ips = BATCH / dt
+    ips = BATCH / slope
     print(json.dumps({
         "metric": "SLaK-T 51x51 inference images/sec/chip @224 bf16",
         "value": round(ips, 1),
