@@ -130,6 +130,42 @@ def test_banded_bf16(rng):
     assert gx.dtype == jnp.bfloat16 and gw.dtype == jnp.bfloat16
 
 
+@pytest.mark.parametrize("kh,kw,h,w,g", [
+    (51, 5, 16, 16, 8),    # g = 128//16
+    (13, 5, 16, 16, 5),    # g capped at s
+    (13, 5, 24, 24, 5),    # g = min(s, 128//24)
+    (51, 5, 10, 12, 8),    # non-square map
+])
+def test_banded_stacked_matches_per_tap(rng, kh, kw, h, w, g):
+    """Tap-stacked (M-packed) kernel vs the per-tap kernel and XLA: same
+    contract, chunked tap dots + shift-add epilogue."""
+    n, c = 4, 3
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
+    assert pb.stack_group(h, kw) == min(g, 128 // h, kw)
+    xcp = pb._to_cmajor_wpad(x, kw // 2)
+    got = pb.dwconv_banded_stacked_cmajor(xcp, wt, interpret=True)
+    ref = pb.dwconv_banded_cmajor(xcp, wt, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    want = jnp.transpose(depthwise_conv2d_xla(x, wt), (3, 1, 2, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_stacked_blocked(rng):
+    """Stacked kernel with multi-block batch + channel grids."""
+    n, h, w, c, kh, kw = 6, 8, 8, 5, 13, 5
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
+    xcp = pb._to_cmajor_wpad(x, kw // 2)
+    got = pb.dwconv_banded_stacked_cmajor(xcp, wt, nb=2, cb=3,
+                                          interpret=True)
+    want = jnp.transpose(depthwise_conv2d_xla(x, wt), (3, 1, 2, 0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_batch_block_gate():
     assert pb.batch_block(64, jnp.bfloat16) is None   # padded by the entry
     assert pb.batch_block(128, jnp.bfloat16) == 128

@@ -24,12 +24,23 @@ import re
 
 
 def _cat(name: str) -> str:
-    if "custom-call" in name:
-        return "pallas custom-call"
-    if "convolution" in name:
-        return "xla convolution"
     m = re.search(r"= \(?(bf16|f32|f16|s32|u32|pred)\[([0-9,]*)\]", name)
     shape = m.group(2) if m else "?"
+    # opcode = the lowercase token directly before the operand list
+    # ("%op = ty[shape]{layout} opcode(%x, ...").  Searching the WHOLE
+    # name string misattributes fusions whose OPERANDS are custom-call
+    # results as pallas calls — a real bug found round 3.  Layout parens
+    # like T(8,128) are preceded by uppercase/digits, so requiring a
+    # lowercase token followed by "(" + an operand start is unambiguous.
+    m2 = re.search(r"\s([a-z][a-z0-9\-\._]*)"
+                   r"\((?:%|\)|[0-9]|bf16|f32|f16|f64|s32|u32|s16|u16|s8|u8|pred)",
+                   name)
+    head = m2.group(1) if m2 else name
+    if "custom-call" in head:
+        return f"pallas [{shape}]"
+    if "convolution" in head:
+        return "xla convolution"
+    name = head
     if "fusion" in name:
         dims = shape.split(",")
         if len(dims) == 4 and dims[-1].isdigit() and int(dims[-1]) >= 400:
