@@ -26,10 +26,12 @@ import jax.numpy as jnp
 from slak_tpu.kd import losses as KL
 from slak_tpu.sparsity import MaskConfig, apply_mask_to_tree, cosine_prune_rate, truncate_weights
 from slak_tpu.train import losses as L
+from slak_tpu.train import packing
 from slak_tpu.train.ema import ema_update
 from slak_tpu.train.engine import TrainConfig, TrainState
 from slak_tpu.train.optim import (AdamWConfig, adam_momentum, adamw_init,
-                                  adamw_update, param_groups)
+                                  adamw_update, param_groups,
+                                  param_groups_from_plan)
 
 Array = jax.Array
 
@@ -92,7 +94,9 @@ def make_kd_train_step(
     dt = kd_cfg.distill_type
 
     def loss_fn(params, kd_params, model_state, images, targets, rng,
-                logits_t, feat_t):
+                logits_t, feat_t, plan=None):
+        if plan is not None:
+            params = packing.unpack(params, plan)
         images = images.astype(train_cfg.compute_dtype)
         feats, new_model_state = student_model.forward_features(
             params, model_state, images, train=True, rng=rng,
@@ -152,12 +156,18 @@ def make_kd_train_step(
         logits_t, feat_t = teacher_apply(
             images.astype(train_cfg.compute_dtype))
 
+        plan = state.plan
         (loss, model_state), (grads, kd_grads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(
             state.params, kd_params, state.model_state, images, targets,
-            rng, logits_t, feat_t)
+            rng, logits_t, feat_t, plan)
 
-        wd_mask, lr_scale = param_groups(state.params, train_cfg.layer_decay)
+        if plan is not None:
+            wd_mask, lr_scale = param_groups_from_plan(
+                plan, train_cfg.layer_decay)
+        else:
+            wd_mask, lr_scale = param_groups(state.params,
+                                             train_cfg.layer_decay)
         params, opt_state, gnorm = adamw_update(
             grads, state.opt_state, state.params, lr, wd, wd_mask, lr_scale,
             acfg)
@@ -169,7 +179,11 @@ def make_kd_train_step(
 
         mask_state = state.mask_state
         if mask_state is not None and mask_cfg is not None:
-            params = apply_mask_to_tree(params, mask_state.masks)
+            if plan is not None:
+                params = packing.apply_mask_packed(params, mask_state.masks,
+                                                   plan)
+            else:
+                params = apply_mask_to_tree(params, mask_state.masks)
             new_step = it + 1
             pr = cosine_prune_rate(new_step, mask_cfg.prune_rate,
                                    max(train_cfg.prune_t_max, 1),
@@ -179,9 +193,15 @@ def make_kd_train_step(
 
                 def refresh(args):
                     ms, p = args
-                    return truncate_weights(
-                        ms, p, mask_cfg, pr, grads=grads,
-                        momentum=adam_momentum(opt_state))
+                    mom = adam_momentum(opt_state)
+                    if plan is None:
+                        return truncate_weights(ms, p, mask_cfg, pr,
+                                                grads=grads, momentum=mom)
+                    ms2, p2 = truncate_weights(
+                        ms, packing.unpack(p, plan), mask_cfg, pr,
+                        grads=packing.unpack(grads, plan),
+                        momentum=packing.unpack(mom, plan))
+                    return ms2, packing.pack(p2, plan)
 
                 mask_state, params = jax.lax.cond(
                     do, refresh, lambda a: a, (mask_state, params))
@@ -189,13 +209,17 @@ def make_kd_train_step(
         ema_p, ema_s = state.ema_params, state.ema_model_state
         if train_cfg.ema_decay:
             masks = mask_state.masks if mask_state is not None else None
+            if plan is not None:
+                masks = packing.remap_masks(masks, plan)
             ema_p = ema_update(ema_p, params, train_cfg.ema_decay, masks)
-            ema_s = ema_update(ema_s, model_state, train_cfg.ema_decay)
+            ms_for_ema = model_state if state.ms_plan is None else \
+                packing.pack(model_state, state.ms_plan)
+            ema_s = ema_update(ema_s, ms_for_ema, train_cfg.ema_decay)
 
         new_state = TrainState(
             params=params, model_state=model_state, opt_state=opt_state,
             step=it + 1, mask_state=mask_state, ema_params=ema_p,
-            ema_model_state=ema_s)
+            ema_model_state=ema_s, plan=plan, ms_plan=state.ms_plan)
         metrics = {"loss": loss, "lr": lr, "grad_norm": gnorm}
         return new_state, kd_params, kd_opt_state, metrics
 

@@ -232,8 +232,8 @@ def main(args):
             n_img += x.shape[0]
             logger.update(loss=m["loss"], lr=m["lr"])
         ips = n_img / (time.time() - t_ep)
-        test_stats = evaluate(eval_step, state.params, state.model_state,
-                              dl_val, mesh)
+        test_stats = evaluate(eval_step, state.tree_params(),
+                              state.model_state, dl_val, mesh)
         max_acc = max(max_acc, test_stats["acc1"])
         print(f"epoch {epoch}: loss={logger.meters['loss'].global_avg:.4f} "
               f"acc1={test_stats['acc1']*100:.2f}% ({ips:.0f} img/s)")

@@ -118,4 +118,5 @@ def auto_load(output_dir: str, target: Any) -> tuple[Any, int]:
                                         jax.tree_util.tree_leaves(t_kid))]
                     restored = jax.tree_util.tree_unflatten(td, leaves)
             out_kids.append(restored)
-        return type(target).tree_unflatten(None, tuple(out_kids)), epoch + 1
+        aux = target.tree_flatten()[1]
+        return type(target).tree_unflatten(aux, tuple(out_kids)), epoch + 1

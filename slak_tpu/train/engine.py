@@ -32,9 +32,11 @@ from slak_tpu.models import slak as slak_model
 from slak_tpu.sparsity import (MaskConfig, MaskState, apply_mask_to_tree,
                                cosine_prune_rate, truncate_weights)
 from slak_tpu.train import losses as L
+from slak_tpu.train import packing
 from slak_tpu.train.ema import ema_init, ema_update
 from slak_tpu.train.optim import (AdamWConfig, adam_momentum, adamw_init,
-                                  adamw_update, param_groups)
+                                  adamw_update, param_groups,
+                                  param_groups_from_plan)
 
 Array = jax.Array
 
@@ -48,15 +50,38 @@ class TrainState:
     mask_state: Optional[MaskState] = None
     ema_params: Optional[Any] = None
     ema_model_state: Optional[Any] = None
+    # static pack plans (pytree aux, not traced): params / model_state.
+    # When set, ``params``/``ema_params`` hold the packed {"big","flat"}
+    # structure and ``ema_model_state`` the flat-packed model state; use
+    # :meth:`tree_params` / :meth:`tree_ema` at tree-consuming boundaries.
+    plan: Optional[packing.PackPlan] = None
+    ms_plan: Optional[packing.PackPlan] = None
 
     def tree_flatten(self):
         children = (self.params, self.model_state, self.opt_state, self.step,
                     self.mask_state, self.ema_params, self.ema_model_state)
-        return children, None
+        return children, (self.plan, self.ms_plan)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        plan, ms_plan = aux if aux is not None else (None, None)
+        return cls(*children, plan=plan, ms_plan=ms_plan)
+
+    def tree_params(self) -> Any:
+        """Params in the original tree structure (for evaluate/deploy/
+        conversion). Identity when packing is off."""
+        if self.plan is None:
+            return self.params
+        return packing.unpack(self.params, self.plan)
+
+    def tree_ema(self) -> Any:
+        """(ema_params, ema_model_state) as original-structure trees."""
+        ep, es = self.ema_params, self.ema_model_state
+        if self.plan is not None and ep is not None:
+            ep = packing.unpack(ep, self.plan)
+        if self.ms_plan is not None and es is not None:
+            es = packing.unpack(es, self.ms_plan)
+        return ep, es
 
 
 jax.tree_util.register_pytree_node(
@@ -75,6 +100,10 @@ class TrainConfig:
     compute_dtype: Any = jnp.float32       # jnp.bfloat16 on TPU
     # DST schedule (sparse_core.py:49-64; T_max = total optimizer steps)
     prune_t_max: int = 0
+    # Keep the ~1000 small (1-D) leaves packed in one flat fp32 vector
+    # across the training loop (see packing.py) — kills the per-leaf
+    # optimizer/EMA op storm (~15-19 ms/step in the round-3 trace).
+    pack_params: bool = True
 
 
 def create_train_state(
@@ -85,19 +114,28 @@ def create_train_state(
     snip_loss_fn: Optional[Callable[[Any], Array]] = None,
 ) -> TrainState:
     params, model_state = model.init(rng)
-    opt_state = adamw_init(params)
     mask_state = None
     if mask_cfg is not None:
         from slak_tpu.sparsity import init_masks
         mask_state = init_masks(jax.random.fold_in(rng, 1), params, mask_cfg,
                                 loss_fn=snip_loss_fn)
         params = apply_mask_to_tree(params, mask_state.masks)
+    plan = ms_plan = None
+    if train_cfg.pack_params:
+        plan = packing.make_plan(params)
+        params = packing.pack(params, plan)
+        if train_cfg.ema_decay:
+            ms_plan = packing.make_plan(model_state)
+    opt_state = adamw_init(params)
     ema_p = ema_init(params) if train_cfg.ema_decay else None
-    ema_s = ema_init(model_state) if train_cfg.ema_decay else None
+    ema_s = None
+    if train_cfg.ema_decay:
+        ema_s = ema_init(packing.pack(model_state, ms_plan)
+                         if ms_plan is not None else model_state)
     return TrainState(params=params, model_state=model_state,
                       opt_state=opt_state, step=jnp.zeros((), jnp.int32),
                       mask_state=mask_state, ema_params=ema_p,
-                      ema_model_state=ema_s)
+                      ema_model_state=ema_s, plan=plan, ms_plan=ms_plan)
 
 
 def make_train_step(
@@ -125,7 +163,9 @@ def make_train_step(
     """
     acfg = adamw_cfg or AdamWConfig(clip_grad=train_cfg.clip_grad)
 
-    def loss_fn(params, model_state, images, targets, rng):
+    def loss_fn(params, model_state, images, targets, rng, plan=None):
+        if plan is not None:
+            params = packing.unpack(params, plan)
         images = images.astype(train_cfg.compute_dtype)
         logits, new_model_state = model.apply(params, model_state, images,
                                               train=True, rng=rng)
@@ -142,12 +182,17 @@ def make_train_step(
         images, targets = batch
         uf = train_cfg.update_freq
         it = state.step
+        plan = state.plan
         lr = lr_schedule[jnp.minimum(it, lr_schedule.shape[0] - 1)]
         wd = train_cfg.weight_decay if wd_schedule is None else \
             wd_schedule[jnp.minimum(it, wd_schedule.shape[0] - 1)]
 
-        wd_mask, lr_scale = param_groups(state.params,
-                                         train_cfg.layer_decay)
+        if plan is not None:
+            wd_mask, lr_scale = param_groups_from_plan(
+                plan, train_cfg.layer_decay)
+        else:
+            wd_mask, lr_scale = param_groups(state.params,
+                                             train_cfg.layer_decay)
 
         # --- grad accumulation over update_freq micro-batches (lax.scan) ---
         if uf > 1:
@@ -160,7 +205,7 @@ def make_train_step(
                 k, sub = jax.random.split(k)
                 (l, mstate), g = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params, mstate, xt[0],
-                                           xt[1], sub)
+                                           xt[1], sub, plan)
                 acc = jax.tree_util.tree_map(jnp.add, acc, g)
                 return (acc, lsum + l, mstate, k), None
 
@@ -174,7 +219,7 @@ def make_train_step(
         else:
             (loss, model_state), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, state.model_state,
-                                       images, targets, rng)
+                                       images, targets, rng, plan)
 
         if pmean_axis is not None:
             # DDP grad all-reduce under shard_map (implicit under plain jit)
@@ -189,7 +234,11 @@ def make_train_step(
         # --- sparsity: apply mask + cond-gated prune/grow -------------------
         mask_state = state.mask_state
         if mask_state is not None and mask_cfg is not None:
-            params = apply_mask_to_tree(params, mask_state.masks)
+            if plan is not None:
+                params = packing.apply_mask_packed(params, mask_state.masks,
+                                                   plan)
+            else:
+                params = apply_mask_to_tree(params, mask_state.masks)
             new_step = it + 1
             pr = cosine_prune_rate(new_step, mask_cfg.prune_rate,
                                    max(train_cfg.prune_t_max, 1),
@@ -200,8 +249,16 @@ def make_train_step(
                 def refresh(args):
                     ms, p = args
                     mom = adam_momentum(opt_state)
-                    return truncate_weights(ms, p, mask_cfg, pr, grads=grads,
-                                            momentum=mom)
+                    if plan is None:
+                        return truncate_weights(ms, p, mask_cfg, pr,
+                                                grads=grads, momentum=mom)
+                    # masks touch only the big (ndim>=2) leaves; unpack
+                    # to trees for the path-based DST core, re-pack after
+                    ms2, p2 = truncate_weights(
+                        ms, packing.unpack(p, plan), mask_cfg, pr,
+                        grads=packing.unpack(grads, plan),
+                        momentum=packing.unpack(mom, plan))
+                    return ms2, packing.pack(p2, plan)
 
                 mask_state, params = jax.lax.cond(
                     do, refresh, lambda a: a, (mask_state, params))
@@ -210,13 +267,17 @@ def make_train_step(
         ema_p, ema_s = state.ema_params, state.ema_model_state
         if train_cfg.ema_decay:
             masks = mask_state.masks if mask_state is not None else None
+            if plan is not None:
+                masks = packing.remap_masks(masks, plan)
             ema_p = ema_update(ema_p, params, train_cfg.ema_decay, masks)
-            ema_s = ema_update(ema_s, model_state, train_cfg.ema_decay)
+            ms_for_ema = model_state if state.ms_plan is None else \
+                packing.pack(model_state, state.ms_plan)
+            ema_s = ema_update(ema_s, ms_for_ema, train_cfg.ema_decay)
 
         new_state = TrainState(
             params=params, model_state=model_state, opt_state=opt_state,
             step=it + 1, mask_state=mask_state, ema_params=ema_p,
-            ema_model_state=ema_s)
+            ema_model_state=ema_s, plan=plan, ms_plan=state.ms_plan)
         metrics = {"loss": loss, "lr": lr, "grad_norm": gnorm,
                    "weight_decay": wd}
         return new_state, metrics

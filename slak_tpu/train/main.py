@@ -275,10 +275,14 @@ def main(args):
         params, model_state = load_torch_checkpoint(args.finetune)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         model_state = jax.tree_util.tree_map(jnp.asarray, model_state)
+        if state.plan is not None:
+            from slak_tpu.train import packing
+            params = packing.pack(params, state.plan)
         state = state.__class__(
             params=params, model_state=model_state, opt_state=state.opt_state,
             step=state.step, mask_state=state.mask_state,
-            ema_params=state.ema_params, ema_model_state=state.ema_model_state)
+            ema_params=state.ema_params, ema_model_state=state.ema_model_state,
+            plan=state.plan, ms_plan=state.ms_plan)
         print(f"loaded torch checkpoint {args.finetune}")
 
     start_epoch = 0
@@ -325,8 +329,8 @@ def main(args):
     state = replicate(state, mesh)
 
     if args.eval:
-        stats = evaluate(eval_step, state.params, state.model_state, dl_val,
-                         mesh)
+        stats = evaluate(eval_step, state.tree_params(), state.model_state,
+                         dl_val, mesh)
         print(f"Accuracy of the network: top-1 {stats['acc1']*100:.2f}%, "
               f"top-5 {stats['acc5']*100:.2f}%")
         return stats
@@ -390,7 +394,7 @@ def main(args):
                                  save_ckpt_freq=args.save_ckpt_freq,
                                  save_ckpt_num=args.save_ckpt_num)
 
-        test_stats = evaluate(eval_step, state.params, state.model_state,
+        test_stats = evaluate(eval_step, state.tree_params(), state.model_state,
                               dl_val, mesh)
         print(f"Accuracy on {len(ds_val)} val images: "
               f"{test_stats['acc1']*100:.2f}%")
@@ -408,8 +412,7 @@ def main(args):
                  "images_per_sec": ips}
 
         if args.model_ema and args.model_ema_eval:
-            ema_stats = evaluate(eval_step, state.ema_params,
-                                 state.ema_model_state, dl_val, mesh)
+            ema_stats = evaluate(eval_step, *state.tree_ema(), dl_val, mesh)
             print(f"EMA accuracy: {ema_stats['acc1']*100:.2f}%")
             if ema_stats["acc1"] > max_acc_ema:
                 max_acc_ema = ema_stats["acc1"]

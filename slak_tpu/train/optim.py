@@ -130,6 +130,27 @@ def param_groups(params: Any, layer_decay: Optional[float] = None,
     return wd_mask, lr_scale
 
 
+def param_groups_from_plan(plan, layer_decay: Optional[float] = None,
+                           skip_list: Tuple[str, ...] = ()):
+    """(wd_mask, lr_scale) for a PACKED params structure (packing.py):
+    same per-leaf rules as :func:`param_groups`, but the packed flat
+    leaf's values are per-ELEMENT fp32 vectors (host-built constants) so
+    the elementwise AdamW math broadcasts them directly."""
+    from slak_tpu.train import packing
+    scales = layer_decay_scales(layer_decay) if layer_decay else None
+    wd_leaves, scale_leaves = [], []
+    for name, shape in zip(plan.names, plan.shapes):
+        no_decay = (len(shape) <= 1 or name.endswith(".b")
+                    or name.endswith("bias") or name in skip_list)
+        wd_leaves.append(0.0 if no_decay else 1.0)
+        scale_leaves.append(scales[layer_id_for_param(name)]
+                            if scales is not None else 1.0)
+    wd_tree = jax.tree_util.tree_unflatten(plan.treedef, wd_leaves)
+    sc_tree = jax.tree_util.tree_unflatten(plan.treedef, scale_leaves)
+    return (packing.pack_per_leaf_values(wd_tree, plan),
+            packing.pack_per_leaf_values(sc_tree, plan))
+
+
 # ---------------------------------------------------------------------------
 # AdamW (torch.optim.AdamW semantics)
 # ---------------------------------------------------------------------------

@@ -25,6 +25,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
 def main():
+    import os
+
     from slak_tpu.models import create_model
     from slak_tpu.sparsity import MaskConfig
     from slak_tpu.train import (TrainConfig, cosine_schedule_array,
@@ -36,15 +38,19 @@ def main():
     lr = jnp.asarray(cosine_schedule_array(4e-3, 1e-6, 1, 1000,
                                            warmup_steps=10))
 
-    for conv_impl in ("auto", "xla"):
-        for mlp_impl in ("auto", "xla"):
+    # argv: space-separated "conv,mlp,pack" combos (default: the 2x2
+    # conv/mlp grid with packing on)
+    combos = [tuple(a.split(",")) for a in sys.argv[1:]] or [
+        (c, m, "pack") for c in ("auto", "xla") for m in ("auto", "xla")]
+    for conv_impl, mlp_impl, pack in combos:
             model = create_model(
                 "SLaK_tiny", kernel_size=(51, 49, 47, 13, 5),
                 decom=True, branch_bn=True, width_factor=1.3,
                 drop_path_rate=0.1, conv_impl=conv_impl,
                 mlp_impl=mlp_impl)
             tc = TrainConfig(update_freq=1, ema_decay=0.9999,
-                             compute_dtype=jnp.bfloat16, prune_t_max=1000)
+                             compute_dtype=jnp.bfloat16, prune_t_max=1000,
+                             pack_params=(pack == "pack"))
             mc = MaskConfig(sparsity=0.4, sparse_init="uniform",
                             growth_mode="random", prune_rate=0.5,
                             update_frequency=100)
@@ -64,7 +70,8 @@ def main():
                 float(m["loss"])
                 ts.append(time.perf_counter() - t0)
             ms = 1e3 * sorted(ts)[len(ts) // 2]
-            print(f"train conv={conv_impl:5s} mlp={mlp_impl:5s}: "
+            print(f"train conv={conv_impl:5s} mlp={mlp_impl:5s} "
+                  f"pack={pack:6s}: "
                   f"{ms:6.1f} ms  {BS/(ms/1e3):5.0f} img/s "
                   f"(all: {' '.join(f'{t*1e3:.0f}' for t in sorted(ts))})",
                   flush=True)
