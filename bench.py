@@ -38,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 A100_IMG_PER_SEC = 1000.0  # documented estimate of the reference on A100
 
-BATCH = 256
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 L1, L2 = 3, 9
 
 
@@ -84,28 +84,44 @@ def main():
     entropy = np.random.default_rng(
         int.from_bytes(os.urandom(8), "little"))
     runs = {length: chain(length) for length in (L1, L2)}
-    times = {}
-    for length, run in runs.items():
-        compiled = run.lower(params, state, x).compile()
-        float(compiled(params, state, x))  # discard first (drains queue)
-        samples = []
-        for _ in range(5):
-            x2 = jnp.asarray(entropy.standard_normal(x.shape), x.dtype)
-            jax.block_until_ready(x2)
-            t0 = time.perf_counter()
-            float(compiled(params, state, x2))
-            samples.append(time.perf_counter() - t0)
-        times[length] = sorted(samples)[len(samples) // 2]
-        print(f"L={length} samples: "
-              + " ".join(f"{s:.4f}" for s in samples), file=sys.stderr)
+    compiled = {length: run.lower(params, state, x).compile()
+                for length, run in runs.items()}
 
-    slope = (times[L2] - times[L1]) / (L2 - L1)   # sec per model pass
-    ratio = times[L2] / times[L1]
+    def measure():
+        times = {}
+        for length in (L1, L2):
+            float(compiled[length](params, state, x))  # drain queue
+            samples = []
+            for _ in range(5):
+                x2 = jnp.asarray(entropy.standard_normal(x.shape), x.dtype)
+                jax.block_until_ready(x2)
+                t0 = time.perf_counter()
+                float(compiled[length](params, state, x2))
+                samples.append(time.perf_counter() - t0)
+            times[length] = sorted(samples)[len(samples) // 2]
+            print(f"L={length} samples: "
+                  + " ".join(f"{s:.4f}" for s in samples), file=sys.stderr)
+        return times
+
+    # FAIL-SAFE, not fail-noisy (2026-08-17 incident: a nonlinear run once
+    # emitted 12.6M img/s): if the L2/L1 ratio is off, re-measure with new
+    # entropy; if it never settles, fall back to the conservative
+    # single-dispatch time wall/L2 (includes the tunnel's full dispatch
+    # overhead, so it can only UNDERSTATE throughput).
     expect = L2 / L1
-    if not 0.6 * expect <= ratio <= 1.4 * expect:
+    for attempt in range(4):
+        times = measure()
+        ratio = times[L2] / times[L1]
+        if 0.75 * expect <= ratio <= 1.25 * expect:
+            slope = (times[L2] - times[L1]) / (L2 - L1)  # sec per pass
+            break
         print(f"WARNING: chain wall time not linear in L "
               f"(t{L2}/t{L1} = {ratio:.2f}, expected ~{expect:.2f}); "
-              f"timing may be cache-poisoned", file=sys.stderr)
+              f"retrying ({attempt + 1}/4)", file=sys.stderr)
+    else:
+        slope = times[L2] / L2
+        print("WARNING: linearity never settled; falling back to the "
+              "conservative wall/L estimate", file=sys.stderr)
 
     ips = BATCH / slope
     print(json.dumps({

@@ -200,10 +200,25 @@ def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
         from slak_tpu.ops.depthwise import banded_train_ok
         impl = ("banded" if banded_train_ok(x, p["w"], cfg.pallas_interpret)
                 else "xla")
+    new_s = dict(s)
+    if train and impl == "banded" and "bn" in p:
+        # fused epilogue: the banded kernel emits the BN batch sums, so
+        # the statistics pass over y (one full HBM read per branch per
+        # step) disappears; the custom VJP routes the sums' cotangents
+        # (pallas_banded.depthwise_conv2d_banded_stats)
+        from slak_tpu.ops.pallas_banded import depthwise_conv2d_banded_stats
+        from slak_tpu.ops.batchnorm import batch_norm_from_sums
+        y, s1, s2 = depthwise_conv2d_banded_stats(x, p["w"],
+                                                  cfg.pallas_interpret)
+        count = x.shape[0] * x.shape[1] * x.shape[2]
+        y, m, v = batch_norm_from_sums(
+            y, s1, s2, count, p["bn"]["scale"], p["bn"]["bias"],
+            s["bn"]["mean"], s["bn"]["var"], axis_name=cfg.bn_axis_name)
+        new_s["bn"] = {"mean": m, "var": v}
+        return y, new_s
     # conv bias only in bn-less variants (official ConvNeXt dwconv)
     y = depthwise_conv2d(x, p["w"], b=p.get("b"), impl=impl,
                          interpret=cfg.pallas_interpret)
-    new_s = dict(s)
     if "bn" in p:
         y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
                              s["bn"]["mean"], s["bn"]["var"], train=train,

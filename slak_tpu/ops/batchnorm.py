@@ -69,6 +69,44 @@ def batch_norm(
     return y.astype(x.dtype), new_mean, new_var
 
 
+def batch_norm_from_sums(
+    x: Array,
+    s1: Array,
+    s2: Array,
+    count: int,
+    scale: Array,
+    bias: Array,
+    running_mean: Array,
+    running_var: Array,
+    *,
+    momentum: float = BN_MOMENTUM,
+    eps: float = BN_EPS,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, Array, Array]:
+    """Train-mode :func:`batch_norm` from precomputed per-channel batch
+    sums s1 = sum(x) and s2 = sum(x^2) over the `count` reduced elements
+    (fp32, e.g. emitted by the banded conv kernel's fused epilogue,
+    pallas_banded.dwconv_banded_stats_cmajor) — skips the statistics read
+    of x. Semantics identical to ``batch_norm(..., train=True)``."""
+    mean = s1 / count
+    mean_sq = s2 / count
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)  # biased, used for normalization
+
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+
+    n = count
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
+    unbiased = var * (n / max(n - 1, 1))
+    new_mean = (1 - momentum) * running_mean + momentum * mean
+    new_var = (1 - momentum) * running_var + momentum * unbiased
+    return y.astype(x.dtype), new_mean, new_var
+
+
 def fold_bn(scale: Array, bias: Array, mean: Array, var: Array,
             eps: float = BN_EPS) -> Tuple[Array, Array]:
     """Fold eval-mode BN into a per-channel (mult, add) affine.

@@ -89,6 +89,28 @@ def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
     return out
 
 
+# Eval-pair dispatch: 'split' (two pallas calls + XLA pads/transposes/
+# add) or one fused pallas call with the two layout shuffles placed per
+# mode — 'fused-kernel' (in-kernel x swap + y2 swap), 'fused-input'
+# (second XLA-transposed x stream), 'fused-dualout' (branch-2 output
+# written transposed, XLA add-transpose), 'fused-dualboth' (dual input
+# AND dual output, zero in-kernel shuffles).  Measured at FULL-MODEL
+# level (the only trustworthy instrument on the tunnel — see CLAUDE.md
+# timing protocol (d)); tools/probe_pair_ab.py re-measures.
+# STATUS (closed 2026-08-17): all four fused modes are bit-exact vs
+# split (interpret), and at full-model level (eval fwd bs256, median of
+# 5, two runs) the surviving modes are a WASH: split 169.2/170.6 ms,
+# fused-input 170.0/170.1, fused-dualboth 174.2/176.3 — XLA was already
+# overlapping the split path's pads/transposes/add with the MXU-bound
+# kernels, so merging the calls buys no wall time.  'fused-kernel' and
+# 'fused-dualout' (the two with an in-kernel swapaxes of the x block)
+# fail to compile at full-model shapes: the "remote_compile HTTP 500"
+# is a scoped-VMEM stack OOM (measured 18.11M vs the 16M limit — the
+# swap temporary on top of the halo scratches).  'split' stays the
+# default by measurement; the fused kernels remain as tested variants.
+PAIR_IMPL = "split"
+
+
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
@@ -179,7 +201,7 @@ def large_kernel_conv(
                     or batch_block(x.shape[0], x.dtype) is not None
                     or x.shape[0] >= 32))
     if is_pair and (impl == "banded" or (impl == "auto" and _on_tpu())):
-        from slak_tpu.ops.pallas_banded import lk_pair_banded
+        from slak_tpu.ops.pallas_banded import lk_pair_banded, lk_pair_fused
         # Fold every extra branch that FITS INSIDE LoRA1's (K, s) taps —
         # i.e. the (s, s) small branch — directly into LoRA1's tap tensor
         # (scales applied first, center-padded): exact for stride-1
@@ -207,8 +229,15 @@ def large_kernel_conv(
         for b in biases[:2]:
             if b is not None:
                 bias_total = b if bias_total is None else bias_total + b
-        y = lk_pair_banded(x, w1e, weights[1], None, scales[1],
-                           interpret=interpret)
+        if PAIR_IMPL == "split":
+            y = lk_pair_banded(x, w1e, weights[1], None, scales[1],
+                               interpret=interpret)
+        else:
+            # fused pair: one pallas call, in-kernel halos; the tmode
+            # suffix picks where the two layout shuffles happen
+            y = lk_pair_fused(x, w1e, weights[1], None, scales[1],
+                              tmode=PAIR_IMPL.removeprefix("fused-"),
+                              interpret=interpret)
         if bias_total is not None:
             y = y + bias_total.astype(y.dtype)
         for w, s, b in leftover:

@@ -183,6 +183,477 @@ def dwconv_banded_cmajor(xc: Array, w: Array, nb: Optional[int] = None,
 
 
 # ---------------------------------------------------------------------------
+# forward + fused BN batch statistics
+#
+# Train-mode branch BN (batchnorm.py) needs per-channel sum(y) and
+# sum(y^2) over (N, H, W) — normally a full extra HBM read of the conv
+# output right after the kernel wrote it. The fp32 accumulator is already
+# in VMEM at the end of each channel's tap loop, so the kernel emits the
+# two reductions as a second output, accumulated across batch grid steps
+# exactly like the wgrad kernel's band accumulation (predicated init at
+# b == 0; the batch axis is the minor grid axis, so blocks for a fixed
+# channel block are revisited consecutively). The reduction runs on the
+# CAST output value (bf16 when compute is bf16), keeping the statistics
+# bit-comparable to XLA reducing the stored y. Zero-padded batch rows
+# produce zero outputs and contribute exactly zero to both sums.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_stats_kernel(a_ref, x_ref, o_ref, st_ref, *, s: int, W: int,
+                      cb: int, prec):
+    b = pl.program_id(1)
+    for i in range(cb):
+        acc = jnp.zeros(o_ref.shape[1:], jnp.float32)  # (H, W, nb)
+        for j in range(s):
+            xs = x_ref[i, :, j:j + W, :]
+            acc += lax.dot_general(
+                a_ref[i, j], xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        yc = acc.astype(o_ref.dtype)
+        o_ref[i] = yc
+        yf = yc.astype(jnp.float32)
+        val = jnp.stack([jnp.sum(yf, axis=(0, 1)),
+                         jnp.sum(yf * yf, axis=(0, 1))])      # (2, nb)
+
+        @pl.when(b == 0)
+        def _():
+            st_ref[i] = val
+
+        @pl.when(b > 0)
+        def _():
+            st_ref[i] += val
+
+
+def dwconv_banded_stats_cmajor(xc: Array, w: Array,
+                               nb: Optional[int] = None,
+                               cb: Optional[int] = None,
+                               interpret: bool = False):
+    """:func:`dwconv_banded_cmajor` that also returns the per-channel BN
+    batch sums. Returns (out (C, H, W, N), s1 (C,), s2 (C,)) with
+    s1 = sum(out) and s2 = sum(out^2) over (H, W, N), fp32."""
+    C, H, Wp, N = xc.shape
+    kh, s, _ = w.shape
+    W = Wp - 2 * (s // 2)
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        cb = _pick_cb(H, Wp, nb, jnp.dtype(xc.dtype).itemsize)
+    cp = _round_up(C, cb)
+    A = _pad_channels(build_banded(w, H).astype(xc.dtype), cp)
+    xc = _pad_channels(xc, cp)
+
+    kernel = functools.partial(_fwd_stats_kernel, s=s, W=W, cb=cb,
+                               prec=_precision(xc.dtype))
+    out, st = pl.pallas_call(
+        kernel,
+        grid=(cp // cb, N // nb),
+        in_specs=[
+            pl.BlockSpec((cb, s, H, H), lambda c, b: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, H, Wp, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, 2, nb), lambda c, b: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cp, H, W, N), xc.dtype),
+            jax.ShapeDtypeStruct((cp, 2, nb), jnp.float32),
+        ],
+        interpret=interpret,
+    )(A, xc)
+    if cp != C:
+        out, st = out[:C], st[:C]
+    return out, st[:, 0, :].sum(-1), st[:, 1, :].sum(-1)
+
+
+# ---------------------------------------------------------------------------
+# tap-stacked variant: g taps of one channel packed densely along M
+#
+# Hypothesis (round 3): the per-tap dots are issue-bound at M = H << 128 —
+# the dot (H, H) @ (H, W*nb) costs ~contraction_rows x lane_tiles
+# regardless of M, so the array's M columns sit (128 - H)/128 idle.
+# Packing g = floor(128/H) taps of the SAME channel densely along M —
+# A_stack[(t*H + h), h2] = A_t[h, h2] — keeps the contraction at H (no
+# FLOP inflation, unlike the round-2 block-diagonal channel packing) and
+# cuts the per-channel issue cost from s*H to ceil(s/g)*H rows. The tap
+# outputs come back stacked in one (g*H, Wp, nb) product; a VPU shift-add
+# epilogue (z[t, :, j:j+W]) re-aligns them.
+#
+# MEASURED (tools/probe_stacked.py, v5e bs128 bf16 fwd chains,
+# 2026-08-17): s1 1.01x, s2 1.10x, s3 1.02x — a wash where the model
+# predicted 1.67/2.5/5x, and the deltas sit inside the chain harness's
+# ~5 ms floor (tools/probe_floor.py). The per-tap dots are NOT the
+# per-call bottleneck at SLaK shapes; kept as an opt-in variant +
+# dead-end record, not wired into dispatch.
+# ---------------------------------------------------------------------------
+
+
+def stack_group(H: int, s: int) -> int:
+    return max(1, min(s, 128 // H))
+
+
+def build_banded_stacked(w: Array, H: int, g: int) -> Array:
+    """(K, s, C) taps -> (C, nc, g*H, H) stacked banded matrices,
+    nc = ceil(s/g); chunk q row (t*H + h) col h2 = w[h2 - h + K//2,
+    q*g + t, c] (zero rows for tap indices >= s)."""
+    K, s, C = w.shape
+    nc = -(-s // g)
+    wp = jnp.pad(w, ((0, 0), (0, nc * g - s), (0, 0)))
+    A = build_banded(wp, H)                       # (C, nc*g, H, H)
+    return A.reshape(C, nc, g * H, H)
+
+
+def _fwd_stacked_kernel(a_ref, x_ref, o_ref, *, s: int, g: int, W: int,
+                        H: int, cb: int, prec):
+    nc = a_ref.shape[1]
+    for i in range(cb):
+        acc = jnp.zeros(o_ref.shape[1:], jnp.float32)      # (H, W, nb)
+        for q in range(nc):
+            z = lax.dot_general(
+                a_ref[i, q], x_ref[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            for t in range(g):
+                j = q * g + t
+                if j < s:
+                    acc += z[t * H:(t + 1) * H, j:j + W, :]
+        o_ref[i] = acc.astype(o_ref.dtype)
+
+
+def dwconv_banded_stacked_cmajor(xc: Array, w: Array,
+                                 nb: Optional[int] = None,
+                                 cb: Optional[int] = None,
+                                 interpret: bool = False) -> Array:
+    """Tap-stacked twin of :func:`dwconv_banded_cmajor` (same contract):
+    xc (C, H, Wp, N) W-padded C-major, w (kh, kw, C) with kh contracted.
+    Returns (C, H, W, N)."""
+    C, H, Wp, N = xc.shape
+    kh, s, _ = w.shape
+    W = Wp - 2 * (s // 2)
+    g = stack_group(H, s)
+    if nb is None:
+        nb = batch_block(N, xc.dtype)
+        if nb is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb = N
+        else:
+            # the (g*H, Wp, nb) fp32 chunk product lives in VMEM scratch;
+            # cap the lane block so it stays <= ~4 MB
+            while nb > 128 and g * H * Wp * nb * 4 > 4 * 1024 * 1024:
+                nb //= 2
+    assert N % nb == 0, (N, nb)
+    if cb is None:
+        per_ch = (H * Wp * nb * jnp.dtype(xc.dtype).itemsize
+                  + g * H * Wp * nb * 4)
+        cb = max(1, min(32, (6 * 1024 * 1024) // per_ch))
+    cp = _round_up(C, cb)
+    A = _pad_channels(
+        build_banded_stacked(w, H, g).astype(xc.dtype), cp)
+    xc = _pad_channels(xc, cp)
+    nc = A.shape[1]
+
+    kernel = functools.partial(_fwd_stacked_kernel, s=s, g=g, W=W, H=H,
+                               cb=cb, prec=_precision(xc.dtype))
+    out = pl.pallas_call(
+        kernel,
+        grid=(cp // cb, N // nb),
+        in_specs=[
+            pl.BlockSpec((cb, nc, g * H, H), lambda c, b: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cb, H, Wp, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cp, H, W, N), xc.dtype),
+        interpret=interpret,
+    )(A, xc)
+    return out if cp == C else out[:C]
+
+
+# ---------------------------------------------------------------------------
+# fused decomposed-pair kernel: LoRA1 + LoRA2 in ONE pallas call
+#
+# The round-3 trace (tools/parse_xplane.py on /tmp/prof_r3b_*) showed the
+# eval/train step spending as much in LAYOUT GLUE as in conv math: per
+# block, the split-call pair costs 2 XLA pads (the W/H halos), 2 C-major
+# transposes, 2 separate branch outputs and an add fusion — ~13 full
+# HBM passes of the activation vs 6 for a fused call.  This kernel reads
+# the UNPADDED C-major block once, builds both halos in VMEM scratch,
+# runs both branch orientations back-to-back on the MXU, and writes the
+# SUMMED output — no pads, no per-branch tensors, no add pass.
+#
+# The LoRA2 orientation needs the block transposed to (W, H, nb) so its
+# banded dot contracts over dim 0 (contracting over the sublane dim
+# measured 2x worse, round 2).  Two modes:
+#   * 'kernel': in-kernel jnp.swapaxes of the (H, W, nb) block (VMEM
+#     relayout, no extra HBM stream);
+#   * 'input': the caller passes a second, XLA-transposed stream (one
+#     extra HBM read, zero in-kernel shuffle work).
+# Both are exact; dispatch picks the measured winner (see lk_pair_fused).
+# ---------------------------------------------------------------------------
+
+
+def _pair_body(a1_ref, a2_ref, o_ref, xp_ref, xq_ref, i, *,
+               s, H, W, prec, cdt):
+    """Shared per-channel pair math once the halo scratches hold x (xp,
+    H-major) and x^T (xq, W-major). Branch 2 runs first so only ONE fp32
+    accumulator is ever live (its result is cast to the compute dtype
+    before the swap — bitwise the same as the split path, which casts
+    each branch before the XLA add)."""
+    acc2 = jnp.zeros((W, H, xq_ref.shape[-1]), jnp.float32)
+    for j in range(s):
+        acc2 += lax.dot_general(
+            a2_ref[i, j], xq_ref[:, j:j + H, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    y2 = jnp.swapaxes(acc2.astype(cdt), 0, 1)           # (H, W, nb) bf16
+    acc = jnp.zeros((H, W, xp_ref.shape[-1]), jnp.float32)
+    for j in range(s):
+        acc += lax.dot_general(
+            a1_ref[i, j], xp_ref[:, j:j + W, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+    o_ref[i] = acc.astype(o_ref.dtype) + y2
+
+
+def _pair_kernel(a1_ref, a2_ref, x_ref, o_ref, xp_ref, xq_ref, *,
+                 s: int, H: int, W: int, cb: int, prec):
+    ph = s // 2
+    nb = x_ref.shape[-1]
+    cdt = x_ref.dtype
+    # halo columns stay zero across channel iterations; clear once per step
+    xp_ref[:, :ph, :] = jnp.zeros((H, ph, nb), cdt)
+    xp_ref[:, ph + W:, :] = jnp.zeros((H, ph, nb), cdt)
+    xq_ref[:, :ph, :] = jnp.zeros((W, ph, nb), cdt)
+    xq_ref[:, ph + H:, :] = jnp.zeros((W, ph, nb), cdt)
+    for i in range(cb):
+        x = x_ref[i]                                    # (H, W, nb)
+        xp_ref[:, ph:ph + W, :] = x
+        xq_ref[:, ph:ph + H, :] = jnp.swapaxes(x, 0, 1)
+        _pair_body(a1_ref, a2_ref, o_ref, xp_ref, xq_ref, i,
+                   s=s, H=H, W=W, prec=prec, cdt=cdt)
+
+
+def _pair_kernel_dualin(a1_ref, a2_ref, x_ref, xt_ref, o_ref,
+                        xp_ref, xq_ref, *, s, H, W, cb, prec):
+    ph = s // 2
+    nb = x_ref.shape[-1]
+    cdt = x_ref.dtype
+    xp_ref[:, :ph, :] = jnp.zeros((H, ph, nb), cdt)
+    xp_ref[:, ph + W:, :] = jnp.zeros((H, ph, nb), cdt)
+    xq_ref[:, :ph, :] = jnp.zeros((W, ph, nb), cdt)
+    xq_ref[:, ph + H:, :] = jnp.zeros((W, ph, nb), cdt)
+    for i in range(cb):
+        xp_ref[:, ph:ph + W, :] = x_ref[i]
+        xq_ref[:, ph:ph + H, :] = xt_ref[i]
+        _pair_body(a1_ref, a2_ref, o_ref, xp_ref, xq_ref, i,
+                   s=s, H=H, W=W, prec=prec, cdt=cdt)
+
+
+def _pair_kernel_dualout(a1_ref, a2_ref, x_ref, o1_ref, o2_ref,
+                         xp_ref, xq_ref, *, s, H, W, cb, prec):
+    """No in-kernel shuffles at all: branch 2 is written in its natural
+    transposed layout (cb, W, H, nb) and XLA's add-transpose fusion
+    aligns the two outputs (the same pass the split path already pays,
+    minus its two pads and duplicate x stream)."""
+    ph = s // 2
+    nb = x_ref.shape[-1]
+    cdt = x_ref.dtype
+    xp_ref[:, :ph, :] = jnp.zeros((H, ph, nb), cdt)
+    xp_ref[:, ph + W:, :] = jnp.zeros((H, ph, nb), cdt)
+    xq_ref[:, :ph, :] = jnp.zeros((W, ph, nb), cdt)
+    xq_ref[:, ph + H:, :] = jnp.zeros((W, ph, nb), cdt)
+    for i in range(cb):
+        x = x_ref[i]
+        xp_ref[:, ph:ph + W, :] = x
+        xq_ref[:, ph:ph + H, :] = jnp.swapaxes(x, 0, 1)
+        acc = jnp.zeros((H, W, nb), jnp.float32)
+        for j in range(s):
+            acc += lax.dot_general(
+                a1_ref[i, j], xp_ref[:, j:j + W, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o1_ref[i] = acc.astype(o1_ref.dtype)
+        acc2 = jnp.zeros((W, H, nb), jnp.float32)
+        for j in range(s):
+            acc2 += lax.dot_general(
+                a2_ref[i, j], xq_ref[:, j:j + H, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o2_ref[i] = acc2.astype(o2_ref.dtype)
+
+
+def _pair_kernel_dualin_dualout(a1_ref, a2_ref, x_ref, xt_ref,
+                                o1_ref, o2_ref, xp_ref, xq_ref, *,
+                                s, H, W, cb, prec):
+    """Zero in-kernel shuffles: both orientations streamed in, both
+    branch outputs written in their natural layouts."""
+    ph = s // 2
+    nb = x_ref.shape[-1]
+    cdt = x_ref.dtype
+    xp_ref[:, :ph, :] = jnp.zeros((H, ph, nb), cdt)
+    xp_ref[:, ph + W:, :] = jnp.zeros((H, ph, nb), cdt)
+    xq_ref[:, :ph, :] = jnp.zeros((W, ph, nb), cdt)
+    xq_ref[:, ph + H:, :] = jnp.zeros((W, ph, nb), cdt)
+    for i in range(cb):
+        xp_ref[:, ph:ph + W, :] = x_ref[i]
+        xq_ref[:, ph:ph + H, :] = xt_ref[i]
+        acc = jnp.zeros((H, W, nb), jnp.float32)
+        for j in range(s):
+            acc += lax.dot_general(
+                a1_ref[i, j], xp_ref[:, j:j + W, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o1_ref[i] = acc.astype(o1_ref.dtype)
+        acc2 = jnp.zeros((W, H, nb), jnp.float32)
+        for j in range(s):
+            acc2 += lax.dot_general(
+                a2_ref[i, j], xq_ref[:, j:j + H, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o2_ref[i] = acc2.astype(o2_ref.dtype)
+
+
+# tmode -> (kernel fn, dual input stream?, dual output stream?)
+_PAIR_MODES = {
+    "kernel":   (_pair_kernel,                False, False),
+    "input":    (_pair_kernel_dualin,         True,  False),
+    "dualout":  (_pair_kernel_dualout,        False, True),
+    "dualboth": (_pair_kernel_dualin_dualout, True,  True),
+}
+
+
+def _pick_nb_cb_pair(H: int, W: int, s: int, N: int, itemsize: int,
+                     in_streams: int, out_streams: int):
+    """(nb, cb) for the pair kernels under a ~13 MB VMEM budget: in/out
+    blocks (and the A1/A2 weight blocks) double-buffer per channel
+    block; the halo scratches, the single live fp32 accumulator and the
+    compute-dtype y2 temp are shared across the channel loop."""
+    ph = s // 2
+    streams = in_streams + out_streams
+    nb = batch_block(N, jnp.bfloat16 if itemsize == 2 else jnp.float32)
+    nb = nb or N
+    # nb = 256 trips a Mosaic compiler crash in these kernels (remote
+    # tpu_compile_helper exit 1 at model shapes, 2026-08-17) and a 128-lane
+    # block fills the lanes anyway — cap and grid over batch instead.
+    nb = min(nb, 128)
+    while True:
+        fixed = ((H * (W + 2 * ph) + W * (H + 2 * ph)) * nb * itemsize
+                 + 4 * H * W * nb + H * W * nb * itemsize)
+        per_ch = (2 * streams * H * W * nb * itemsize
+                  + 2 * s * (H * H + W * W) * itemsize)
+        cb = (13 * 1024 * 1024 - fixed) // max(per_ch, 1)
+        if cb >= 1 or nb <= 128:
+            return nb, max(1, min(32, int(cb)))
+        nb //= 2
+
+
+def dwpair_fused_cmajor(xc: Array, w1: Array, w2: Array,
+                        nb: Optional[int] = None, cb: Optional[int] = None,
+                        tmode: str = "kernel",
+                        interpret: bool = False) -> Array:
+    """Fused decomposed pair on an UNPADDED C-major block.
+
+    xc: (C, H, W, N); w1: (K, s, C) contracting along H (s taps along W);
+    w2: (s, K, C) contracting along W (s taps along H). Returns
+    (C, H, W, N) = dwconv(x, w1) + dwconv(x, w2), both stride-1
+    same-padded (k//2 per dim, matching forward_fp32.cu:140-144).
+
+    ``tmode`` picks where the two layout shuffles happen (see the block
+    comment above): 'kernel' = both in-kernel (x swap + y2 swap);
+    'input' = a second XLA-transposed x stream, y2 swapped in-kernel;
+    'dualout' = x swapped in-kernel, branch-2 output written transposed
+    and add-transposed by XLA; 'dualboth' = zero in-kernel shuffles
+    (dual input stream AND dual output).
+    """
+    C, H, W, N = xc.shape
+    K, s, _ = w1.shape
+    assert w2.shape[0] == s and w2.shape[1] == K
+    kern, dual_in, dual_out = _PAIR_MODES[tmode]
+    if nb is None or cb is None:
+        if batch_block(N, xc.dtype) is None:
+            assert interpret, "compiled banded kernels need batch % 128 == 0"
+            nb, cb = N, 1
+        else:
+            nb, cb = _pick_nb_cb_pair(H, W, s, N,
+                                      jnp.dtype(xc.dtype).itemsize,
+                                      in_streams=2 if dual_in else 1,
+                                      out_streams=2 if dual_out else 1)
+    assert N % nb == 0, (N, nb)
+    cp = _round_up(C, cb)
+    A1 = _pad_channels(build_banded(w1, H).astype(xc.dtype), cp)
+    A2 = _pad_channels(
+        build_banded(jnp.transpose(w2, (1, 0, 2)), W).astype(xc.dtype), cp)
+    xcp = _pad_channels(xc, cp)
+    ph = s // 2
+
+    scratch = [
+        pltpu.VMEM((H, W + 2 * ph, nb), xcp.dtype),
+        pltpu.VMEM((W, H + 2 * ph, nb), xcp.dtype),
+    ]
+    common = dict(s=s, H=H, W=W, cb=cb, prec=_precision(xcp.dtype))
+    in_specs = [
+        pl.BlockSpec((cb, s, H, H), lambda c, b: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cb, s, W, W), lambda c, b: (c, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A1, A2, xcp]
+    if dual_in:
+        xt = jnp.transpose(xcp, (0, 2, 1, 3))        # (cp, W, H, N)
+        in_specs.append(
+            pl.BlockSpec((cb, W, H, nb), lambda c, b: (c, 0, 0, b),
+                         memory_space=pltpu.VMEM))
+        args.append(xt)
+    out_spec1 = pl.BlockSpec((cb, H, W, nb), lambda c, b: (c, 0, 0, b),
+                             memory_space=pltpu.VMEM)
+    if dual_out:
+        out_specs = [out_spec1,
+                     pl.BlockSpec((cb, W, H, nb), lambda c, b: (c, 0, 0, b),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((cp, H, W, N), xc.dtype),
+                     jax.ShapeDtypeStruct((cp, W, H, N), xc.dtype)]
+    else:
+        out_specs = out_spec1
+        out_shape = jax.ShapeDtypeStruct((cp, H, W, N), xc.dtype)
+    out = pl.pallas_call(
+        functools.partial(kern, **common),
+        grid=(cp // cb, N // nb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    if dual_out:
+        # XLA's add-transpose fusion aligns the branch-2 output — the
+        # same pass the split path pays, minus its pads + extra x stream.
+        out = out[0] + jnp.swapaxes(out[1], 1, 2)
+    return out if cp == C else out[:C]
+
+
+def lk_pair_fused(x: Array, w1: Array, w2: Array,
+                  scale1: Array = None, scale2: Array = None,
+                  tmode: str = "kernel",
+                  interpret: bool = False) -> Array:
+    """NHWC entry for the fused pair: one pallas call, no XLA pads, one
+    summed output. Same contract as :func:`lk_pair_banded`."""
+    x, n0 = _pad_batch(x, interpret)
+    if scale1 is not None:
+        w1 = w1 * scale1.astype(w1.dtype)
+    if scale2 is not None:
+        w2 = w2 * scale2.astype(w2.dtype)
+    xc = jnp.transpose(x, (3, 1, 2, 0))              # (C, H, W, N)
+    y = dwpair_fused_cmajor(xc, w1, w2, tmode=tmode, interpret=interpret)
+    out = jnp.transpose(y, (3, 1, 2, 0))
+    return out if out.shape[0] == n0 else out[:n0]
+
+
+# ---------------------------------------------------------------------------
 # full-2D Toeplitz variant (small maps: one MXU dot per channel)
 #
 # Flattening BOTH spatial dims into a doubly-blocked Toeplitz matrix turns
@@ -533,6 +1004,76 @@ def _vjp_bwd(interpret, res, g):
 
 
 depthwise_conv2d_banded.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# conv + fused BN batch statistics, with custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _xla_stats(y: Array):
+    yf = y.astype(jnp.float32)
+    return jnp.sum(yf, (0, 1, 2)), jnp.sum(yf * yf, (0, 1, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def depthwise_conv2d_banded_stats(x: Array, w: Array,
+                                  interpret: bool = False):
+    """:func:`depthwise_conv2d_banded` that also returns the per-channel
+    BN batch sums (s1, s2) = (sum(y), sum(y^2)) over (N, H, W), fp32 —
+    fused into the conv kernel's epilogue so train-mode BN skips its
+    statistics read of y (one full HBM pass of the activation per branch
+    per step). The 2-D tiny-map route computes the sums in XLA (the maps
+    are small enough that the pass is negligible there)."""
+    y = _banded_fwd(x, w, interpret)
+    return (y,) + _xla_stats(y)
+
+
+def _vjp_stats_fwd(x, w, interpret):
+    """Mirror of :func:`_vjp_fwd` using the stats-emitting forward kernel;
+    additionally saves y (the backward's dy_eff needs it — see below)."""
+    kh, kw, _ = w.shape
+    xp, n = _pad_batch(x, interpret)
+    _, H, W, _ = xp.shape
+    if use_banded2d(H, W, kh, kw, jnp.dtype(x.dtype).itemsize):
+        xc = jnp.transpose(xp, (3, 1, 2, 0))
+        y = dwconv_banded2d_cmajor(xc, w, interpret=interpret)
+        y = jnp.transpose(y, (3, 1, 2, 0))
+        if y.shape[0] != n:
+            y = y[:n]
+        s1, s2 = _xla_stats(y)
+        return (y, s1, s2), (xc, w, y)
+    if kw > kh:
+        xcs = jnp.pad(jnp.transpose(xp, (3, 2, 1, 0)),
+                      ((0, 0), (0, 0), (kh // 2, kh // 2), (0, 0)))
+        yc, s1, s2 = dwconv_banded_stats_cmajor(
+            xcs, jnp.transpose(w, (1, 0, 2)), interpret=interpret)
+        y = jnp.transpose(yc, (3, 2, 1, 0))
+        if y.shape[0] != n:
+            y = y[:n]
+        return (y, s1, s2), (xcs, w, y)
+    xcp = _to_cmajor_wpad(xp, kw // 2)
+    yc, s1, s2 = dwconv_banded_stats_cmajor(xcp, w, interpret=interpret)
+    y = jnp.transpose(yc, (3, 1, 2, 0))
+    if y.shape[0] != n:
+        y = y[:n]
+    return (y, s1, s2), (xcp, w, y)
+
+
+def _vjp_stats_bwd(interpret, res, cot):
+    """(dy, ds1, ds2) -> (dx, dw): the sums' cotangents fold into an
+    effective output cotangent dy_eff = dy + ds1[c] + 2*y*ds2[c] (from
+    d sum(y)/dy = 1 and d sum(y^2)/dy = 2y), then the standard banded
+    dgrad/wgrad pair runs on dy_eff."""
+    xc_saved, w, y = res
+    dy, ds1, ds2 = cot
+    g = (dy.astype(jnp.float32) + ds1
+         + 2.0 * ds2 * y.astype(jnp.float32)).astype(y.dtype)
+    dx, dw = _vjp_bwd(interpret, (xc_saved, w), g)
+    return dx, dw
+
+
+depthwise_conv2d_banded_stats.defvjp(_vjp_stats_fwd, _vjp_stats_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,22 @@ way the reference does for its conv. The backward tile needs ~3 fp32
 (measured: an XLA-recompute custom VJP is ~43 ms/step WORSE than XLA's
 own selective remat — never hide the composition from the autodiff
 without a real backward kernel).
+
+Wide-C backward: CLOSED as the deliberate design (round 3). Measured
+per-block bwd chains (v5e bs128 bf16, ~5 ms/iter harness floor per
+tools/probe_floor.py):
+
+    stage 2 (T=100352, C=249): fused 7.45 | XLA 8.93  -> fused 1.6x
+    stage 3 (T=25088,  C=499): F-chunked 7.17 | XLA 6.97 -> XLA wins
+
+After subtracting the floor, XLA's stage-3 bwd is ~2.0 ms — already AT
+the MXU compute floor (2x fwd FLOPs = 2*2*T*C*4C*2 = 200 GFLOP at the
+measured 105 TFLOPS = 1.9 ms), because at C >= 499 the matmuls are big
+enough that XLA tiles them well and the LN/GELU elementwise it fails to
+fuse is a small fraction. There is no headroom for any fused
+formulation (W2-major chunking included — it still recomputes h per
+chunk, the exact cost that made the F-chunked variant a wash), so
+stages 3-4 deliberately train through XLA.
 """
 
 from __future__ import annotations

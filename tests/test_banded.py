@@ -166,6 +166,44 @@ def test_banded_stacked_blocked(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("tmode", ["kernel", "input", "dualout", "dualboth"])
+def test_pair_fused_matches_split(rng, tmode):
+    """Fused decomposed-pair kernel (one pallas call, in-kernel halos) vs
+    the split two-call path and XLA, for every layout-shuffle placement."""
+    for (n, h, w, c, K, s) in [(4, 16, 16, 3, 51, 5), (4, 10, 12, 5, 31, 5),
+                               (2, 24, 16, 3, 13, 3)]:
+        x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+        w1 = jnp.asarray(rng.standard_normal((K, s, c)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((s, K, c)) * 0.1, jnp.float32)
+        s1 = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        s2 = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        got = pb.lk_pair_fused(x, w1, w2, s1, s2, tmode=tmode,
+                               interpret=True)
+        want = (depthwise_conv2d_xla(x, w1) * s1
+                + depthwise_conv2d_xla(x, w2) * s2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        ref = pb.lk_pair_banded(x, w1, w2, s1, s2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_pair_fused_blocked(rng):
+    """Fused pair with explicit multi-block batch + channel grids."""
+    n, h, w, c, K, s = 6, 12, 10, 5, 13, 3
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((K, s, c)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((s, K, c)) * 0.1, jnp.float32)
+    xc = jnp.transpose(x, (3, 1, 2, 0))
+    want = jnp.transpose(depthwise_conv2d_xla(x, w1)
+                         + depthwise_conv2d_xla(x, w2), (3, 1, 2, 0))
+    for tmode in ("kernel", "dualboth"):
+        got = pb.dwpair_fused_cmajor(xc, w1, w2, nb=2, cb=3, tmode=tmode,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_batch_block_gate():
     assert pb.batch_block(64, jnp.bfloat16) is None   # padded by the entry
     assert pb.batch_block(128, jnp.bfloat16) == 128
@@ -182,3 +220,75 @@ def test_pad_batch_roundtrip(rng):
     assert xp.shape[0] == 128 and n == 5
     np.testing.assert_array_equal(np.asarray(xp[:5]), np.asarray(x))
     assert float(jnp.abs(xp[5:]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# conv + fused BN batch statistics (depthwise_conv2d_banded_stats)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kh,kw,h,w", [(51, 5, 16, 16), (5, 51, 16, 16),
+                                       (13, 5, 6, 6)])
+def test_banded_stats_fwd(rng, kh, kw, h, w):
+    """(y, s1, s2) from the stats-fused kernel == conv + XLA reductions,
+    in both 1-D orientations and the 2-D tiny-map route."""
+    n, c = 4, 3
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
+    y, s1, s2 = pb.depthwise_conv2d_banded_stats(x, wt, True)
+    want = pb.depthwise_conv2d_banded(x, wt, True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    yf = np.asarray(want, np.float32)
+    np.testing.assert_allclose(np.asarray(s1), yf.sum((0, 1, 2)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2), (yf * yf).sum((0, 1, 2)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_banded_stats_grads(rng):
+    """Grads through a BN-like composite of (y, s1, s2) match the unfused
+    composition (conv custom VJP + XLA sums) — verifies the ds1/ds2
+    routing dy_eff = dy + ds1 + 2*y*ds2 in the stats VJP."""
+    n, h, w, c, kh, kw = 4, 16, 16, 3, 31, 5
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
+    cnt = n * h * w
+
+    def loss_fused(x, wt):
+        y, s1, s2 = pb.depthwise_conv2d_banded_stats(x, wt, True)
+        mean = s1 / cnt
+        var = s2 / cnt - mean ** 2
+        z = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(z * jnp.cos(z))
+
+    def loss_ref(x, wt):
+        y = pb.depthwise_conv2d_banded(x, wt, True)
+        mean = jnp.mean(y, (0, 1, 2))
+        var = jnp.mean(y * y, (0, 1, 2)) - mean ** 2
+        z = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.sum(z * jnp.cos(z))
+
+    (lf, gf) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, wt)
+    (lr, gr) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_batch_norm_from_sums_matches_batch_norm(rng):
+    from slak_tpu.ops.batchnorm import batch_norm, batch_norm_from_sums
+    n, h, w, c = 4, 6, 6, 5
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    rm = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    rv = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+    want = batch_norm(x, scale, bias, rm, rv, train=True)
+    s1 = jnp.sum(x, (0, 1, 2))
+    s2 = jnp.sum(x * x, (0, 1, 2))
+    got = batch_norm_from_sums(x, s1, s2, n * h * w, scale, bias, rm, rv)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

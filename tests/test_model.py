@@ -124,3 +124,39 @@ def test_reparam_merge_matches_unfused(rng, decom):
     got, _ = M.apply(merged, state, x, cfg=cfg, train=False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_branch_forward_banded_stats_parity(rng):
+    """Train-mode conv+BN branch: the banded stats-fused route (conv
+    kernel emits the BN sums, batch_norm_from_sums consumes them) matches
+    the plain conv + batch_norm composition — output, new running stats,
+    and grads."""
+    n, h, w, c, K, s = 2, 16, 16, 3, 31, 5
+    x = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    p = {"w": jnp.asarray(rng.standard_normal((K, s, c)) * 0.1, jnp.float32),
+         "bn": {"scale": jnp.asarray(rng.random(c) + 0.5, jnp.float32),
+                "bias": jnp.asarray(rng.standard_normal(c), jnp.float32)}}
+    st = {"bn": {"mean": jnp.asarray(rng.standard_normal(c), jnp.float32),
+                 "var": jnp.asarray(rng.random(c) + 0.5, jnp.float32)}}
+    cfg_b = M.SLaKConfig(depths=(1,), dims=(c,), conv_impl="banded",
+                         pallas_interpret=True)
+    cfg_x = M.SLaKConfig(depths=(1,), dims=(c,), conv_impl="xla")
+
+    def run(cfg):
+        def loss(p, x):
+            y, ns = M._branch_forward(x, p, st, train=True, cfg=cfg)
+            return jnp.sum(y * jnp.sin(y)), ns
+        (l, ns), g = jax.value_and_grad(loss, has_aux=True)(p, x)
+        return l, ns, g
+
+    lb, nsb, gb = run(cfg_b)
+    lx, nsx, gx = run(cfg_x)
+    np.testing.assert_allclose(float(lb), float(lx), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(nsb),
+                    jax.tree_util.tree_leaves(nsx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(gb),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

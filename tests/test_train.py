@@ -200,7 +200,7 @@ def test_train_step_sparse_dst(rng):
     assert abs(nnz1 - nnz0) / nnz0 < 0.05
     # all masked weights are zero after the step
     from slak_tpu.sparsity import select_maskable
-    sel = select_maskable(state.params)
+    sel = select_maskable(state.tree_params())
     for n, m in state.mask_state.masks.items():
         assert float(jnp.sum(jnp.abs(sel[n]) * (1 - m))) == 0.0
 
@@ -222,7 +222,7 @@ def test_eval_step(rng):
     tcfg = TrainConfig()
     state = create_train_state(jax.random.PRNGKey(0), model, tcfg)
     ev = jax.jit(make_eval_step(model))
-    m = ev(state.params, state.model_state, _batch(rng))
+    m = ev(state.tree_params(), state.model_state, _batch(rng))
     assert 0.0 <= float(m["acc1"]) <= 1.0
     assert float(m["acc5"]) >= float(m["acc1"])
 

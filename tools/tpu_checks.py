@@ -75,6 +75,44 @@ def check_banded(rng):
     return ok
 
 
+def check_banded_stats(rng):
+    """Stats-fused forward (conv + BN batch sums in one kernel) vs the
+    split composition, plus the ds1/ds2-routing backward, compiled."""
+    from slak_tpu.ops import pallas_banded as pb
+
+    ok = True
+    for (n, h, w_, c, kh, kw, tag) in [
+            (128, 56, 56, 37, 51, 5, "s1 1d"),
+            (128, 28, 28, 37, 5, 49, "s2 rect-twin")]:
+        x = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.bfloat16)
+        wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
+        cnt = n * h * w_
+
+        def lf(x_, w__):
+            y, s1, s2 = pb.depthwise_conv2d_banded_stats(x_, w__)
+            mean = s1 / cnt
+            var = s2 / cnt - mean ** 2
+            z = (y.astype(jnp.float32) - mean) * lax.rsqrt(var + 1e-5)
+            return jnp.sum(z * jnp.sin(z))
+
+        def lr(x_, w__):
+            y = pb.depthwise_conv2d_banded(x_, w__).astype(jnp.float32)
+            mean = jnp.mean(y, (0, 1, 2))
+            var = jnp.mean(y * y, (0, 1, 2)) - mean ** 2
+            z = (y - mean) * lax.rsqrt(var + 1e-5)
+            return jnp.sum(z * jnp.sin(z))
+
+        (v1, (dx1, dw1)) = jax.jit(jax.value_and_grad(lf, (0, 1)))(x, wt)
+        (v2, (dx2, dw2)) = jax.jit(jax.value_and_grad(lr, (0, 1)))(x, wt)
+        rv = abs(float(v1) - float(v2)) / (abs(float(v2)) + 1e-9)
+        rw, rx = _rel(dw1, dw2), _rel(dx1, dx2)
+        good = rv < 1e-2 and rw < 1e-2 and rx < 1e-2
+        ok &= good
+        print(f"banded_stats[{tag}]: v={rv:.1e} dw={rw:.1e} dx={rx:.1e} "
+              f"{'OK' if good else 'FAIL'}", flush=True)
+    return ok
+
+
 def check_mlp(rng):
     from slak_tpu.ops import pallas_mlp as pm
 
@@ -241,7 +279,8 @@ def main():
     args = ap.parse_args()
     print("platform:", jax.devices()[0].platform, flush=True)
     rng = np.random.default_rng(0)
-    ok = check_banded(rng) & check_mlp(rng) & check_model(rng)
+    ok = (check_banded(rng) & check_banded_stats(rng) & check_mlp(rng)
+          & check_model(rng))
     if args.perf:
         perf(rng)
     print("ALL OK" if ok else "FAILURES", flush=True)
