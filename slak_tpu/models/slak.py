@@ -228,12 +228,18 @@ def _branch_forward(x, p, s, *, train, cfg: SLaKConfig):
 
 
 def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
-    """ReparamLargeKernelConv forward (reference models/SLaK.py:89-100)."""
+    """ReparamLargeKernelConv forward (reference models/SLaK.py:89-100).
+
+    Returns (y, deferred_bias, new_state): in the eval fast path the
+    folded-BN bias is RETURNED instead of added (``defer_bias=True``) so
+    the block can fold it into the fused MLP's in-VMEM LN input — one
+    full elementwise pass over the activation saved per block; the block
+    adds it explicitly when the fused tail is not taken."""
     if "reparam" in p:
         y = depthwise_conv2d(x, p["reparam"]["w"], b=p["reparam"]["b"],
                              impl=cfg.conv_impl,
                              interpret=cfg.pallas_interpret)
-        return y, s
+        return y, None, s
 
     branch_names = [n for n in ("LoRA1", "LoRA2", "origin", "small") if n in p]
     if not train and all("bn" in p[n] for n in branch_names):
@@ -246,21 +252,25 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
             ws.append(p[n]["w"])
             scales.append(mult)
             biases.append(add)
-        y = large_kernel_conv(x, ws, scales, biases, impl=cfg.conv_impl,
-                              interpret=cfg.pallas_interpret)
-        return y, s
+        out = large_kernel_conv(x, ws, scales, biases, impl=cfg.conv_impl,
+                                interpret=cfg.pallas_interpret,
+                                defer_bias=True)
+        if isinstance(out, tuple):
+            return out[0], out[1], s
+        return out, None, s
 
     out = None
     new_s = {}
     for n in branch_names:
         y, new_s[n] = _branch_forward(x, p[n], s[n], train=train, cfg=cfg)
         out = y if out is None else out + y
-    return out, new_s
+    return out, None, new_s
 
 
 def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     shortcut = x
-    y, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train, cfg=cfg)
+    y, lk_bias, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train,
+                                       cfg=cfg)
 
     # Fused LN+MLP tail (Pallas, ops/pallas_mlp.py): keeps the 4C-wide
     # intermediate in VMEM — measured 1.41x/1.17x per stage-1/3 block over
@@ -280,15 +290,19 @@ def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
             and (not train or fused_mlp_bwd_ok(c))):
         gamma = (p["gamma"] if "gamma" in p
                  else jnp.ones((c,), jnp.float32))
+        pre_bias = (jnp.zeros((c,), jnp.float32) if lk_bias is None
+                    else lk_bias.astype(jnp.float32))
         args = (y, shortcut, p["norm"]["scale"], p["norm"]["bias"],
                 p["pwconv1"]["w"], p["pwconv1"]["b"],
-                p["pwconv2"]["w"], p["pwconv2"]["b"], gamma)
+                p["pwconv2"]["w"], p["pwconv2"]["b"], gamma, pre_bias)
         if train and dp_rate > 0.0 and rng is not None:
             branch = fused_mlp(*args, False, interp)
             return shortcut + drop_path(branch, dp_rate, rng, train), \
                 {"lk": lk_state}
         return fused_mlp(*args, True, interp), {"lk": lk_state}
 
+    if lk_bias is not None:
+        y = y + lk_bias.astype(y.dtype)
     y = layer_norm(y, p["norm"]["scale"], p["norm"]["bias"])
     y = jnp.dot(y, p["pwconv1"]["w"].astype(y.dtype),
                 preferred_element_type=jnp.float32).astype(y.dtype)

@@ -168,6 +168,7 @@ def large_kernel_conv(
     biases: Optional[Sequence[Array]] = None,
     impl: str = "auto",
     interpret: bool = False,
+    defer_bias: bool = False,
 ) -> Array:
     """Sum of several same-padded stride-1 depthwise convs over the same input,
     each optionally followed by a per-channel affine (fused BN):
@@ -238,8 +239,6 @@ def large_kernel_conv(
             y = lk_pair_fused(x, w1e, weights[1], None, scales[1],
                               tmode=PAIR_IMPL.removeprefix("fused-"),
                               interpret=interpret)
-        if bias_total is not None:
-            y = y + bias_total.astype(y.dtype)
         for w, s, b in leftover:
             z = depthwise_conv2d_xla(x, w)
             if s is not None:
@@ -247,6 +246,12 @@ def large_kernel_conv(
             if b is not None:
                 z = z + b.astype(z.dtype)
             y = y + z
+        if defer_bias:
+            # caller folds bias_total into a later in-VMEM add (e.g. the
+            # fused MLP's LN input) — skips a full elementwise pass
+            return y, bias_total
+        if bias_total is not None:
+            y = y + bias_total.astype(y.dtype)
         return y
 
     use_grouped = impl == "grouped" or (

@@ -87,7 +87,7 @@ def fused_mlp_ok(c: int, c4: int, itemsize: int, on_tpu: bool) -> bool:
 def _mlp_kernel(y_ref, res_ref, p_ref, w1_ref, w2_ref, o_ref, *, C: int,
                 add_residual: bool):
     y = y_ref[...]
-    yf = y.astype(jnp.float32)
+    yf = y.astype(jnp.float32) + p_ref[5, :C]
     mu = jnp.mean(yf, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
     h = (yf - mu) * lax.rsqrt(var + LN_EPS)
@@ -122,7 +122,7 @@ def _pick_tt_bwd(c: int, itemsize: int = 2) -> int:
 
 
 def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                  add_residual, interpret):
+                  pre_bias, add_residual, interpret):
     """(T, C) tokens-major core. Returns (T, C)."""
     T, C = y2.shape
     C4 = w1.shape[1]
@@ -134,6 +134,7 @@ def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     pk = jnp.zeros((8, C4), jnp.float32)
     pk = pk.at[0, :C].set(ln_scale).at[1, :C].set(ln_bias).at[2].set(b1)
     pk = pk.at[3, :C].set(b2).at[4, :C].set(gamma)
+    pk = pk.at[5, :C].set(pre_bias)
     kern = functools.partial(_mlp_kernel, C=C, add_residual=add_residual)
     out = pl.pallas_call(
         kern,
@@ -165,7 +166,7 @@ def _mlp_bwd_kernel(y_ref, do_ref, p_ref, w1_ref, w2_ref,
     t = pl.program_id(0)
     y = y_ref[...]
     cdt = y.dtype
-    yf = y.astype(jnp.float32)
+    yf = y.astype(jnp.float32) + p_ref[5, :C]
     mu = jnp.mean(yf, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
     inv = lax.rsqrt(var + LN_EPS)
@@ -230,7 +231,7 @@ def _mlp_bwd_kernel(y_ref, do_ref, p_ref, w1_ref, w2_ref,
 
 
 def _mlp_bwd_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                interpret):
+                pre_bias, interpret):
     T, C = y2.shape
     C4 = w1.shape[1]
     Tt = _pick_tt_bwd(C, jnp.dtype(y2.dtype).itemsize)
@@ -241,6 +242,7 @@ def _mlp_bwd_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     pk = jnp.zeros((8, C4), jnp.float32)
     pk = pk.at[0, :C].set(ln_scale).at[1, :C].set(ln_bias).at[2].set(b1)
     pk = pk.at[3, :C].set(b2).at[4, :C].set(gamma)
+    pk = pk.at[5, :C].set(pre_bias)
     kern = functools.partial(_mlp_bwd_kernel, C=C)
     dy, dw1, dw2, dv1, dv2 = pl.pallas_call(
         kern,
@@ -293,7 +295,7 @@ def _mlp_bwd_chunked_kernel(y_ref, do_ref, pc_ref, pb1_ref, w1_ref, w2_ref,
     f = pl.program_id(1)
     y = y_ref[...]
     cdt = y.dtype
-    yf = y.astype(jnp.float32)
+    yf = y.astype(jnp.float32) + pc_ref[4]
     mu = jnp.mean(yf, axis=1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mu), axis=1, keepdims=True)
     inv = lax.rsqrt(var + LN_EPS)
@@ -376,7 +378,7 @@ def _pick_fc(c4: int, itemsize: int = 2) -> int:
 
 
 def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                        interpret):
+                        pre_bias, interpret):
     T, C = y2.shape
     C4 = w1.shape[1]
     Fc = _pick_fc(C4, jnp.dtype(y2.dtype).itemsize)
@@ -391,7 +393,9 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     if Tp != T:
         y2 = jnp.pad(y2, ((0, Tp - T), (0, 0)))
         do2 = jnp.pad(do2, ((0, Tp - T), (0, 0)))
-    pc = jnp.stack([ln_scale, ln_bias, b2, gamma]).astype(jnp.float32)
+    pc = jnp.stack([ln_scale, ln_bias, b2, gamma,
+                    jnp.broadcast_to(pre_bias, ln_scale.shape)]
+                   ).astype(jnp.float32)
     pb1 = b1[None].astype(jnp.float32)
     kern = functools.partial(_mlp_bwd_chunked_kernel, NF=NF)
     dy, dw1, dw2, dv1, dv2 = pl.pallas_call(
@@ -402,7 +406,7 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Tt, C), lambda t, f: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, C), lambda t, f: (0, 0),
+            pl.BlockSpec((5, C), lambda t, f: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Fc), lambda t, f: (0, f),
                          memory_space=pltpu.VMEM),
@@ -438,11 +442,12 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
 
 
 def _reference_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                   add_residual):
+                   pre_bias, add_residual):
     """The exact op composition being fused (models/layers.py layer_norm +
-    models/slak.py pwconv pair) — used for the VJP backward and as the
+    models/slak.py pwconv pair, plus the folded-BN bias add that precedes
+    the LN in the eval conv path) — used for the VJP backward and as the
     non-TPU fallback."""
-    yf = y.astype(jnp.float32)
+    yf = y.astype(jnp.float32) + pre_bias
     mu = jnp.mean(yf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(yf - mu), axis=-1, keepdims=True)
     h = ((yf - mu) * lax.rsqrt(var + LN_EPS) * ln_scale
@@ -458,46 +463,54 @@ def _reference_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
     return o.astype(y.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def fused_mlp(y: Array, res: Array, ln_scale: Array, ln_bias: Array,
               w1: Array, b1: Array, w2: Array, b2: Array, gamma: Array,
+              pre_bias: Array = None,
               add_residual: bool = True, interpret: bool = False) -> Array:
-    """NHWC fused block tail: ``res + gamma * pw2(gelu(pw1(LN(y))))``
+    """NHWC fused block tail: ``res + gamma * pw2(gelu(pw1(LN(y + pre_bias))))``
     (or just the branch when ``add_residual=False`` — the train-mode
-    drop-path multiplies outside). y, res: (N, H, W, C)."""
+    drop-path multiplies outside). y, res: (N, H, W, C); pre_bias is the
+    per-channel folded-BN bias of the preceding eval conv, added to the
+    LN input in-VMEM so the eval path skips a full elementwise pass over
+    the activation."""
     shp = y.shape
     out = _mlp_fused_2d(y.reshape(-1, shp[-1]), res.reshape(-1, shp[-1]),
                         ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                        add_residual, interpret)
+                        pre_bias, add_residual, interpret)
     return out.reshape(shp)
 
 
-def _vjp_fwd(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+def _vjp_fwd(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma, pre_bias,
              add_residual, interpret):
     out = fused_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
-                    add_residual, interpret)
+                    pre_bias, add_residual, interpret)
     # the backward needs res only for dres's shape/dtype (res.shape ==
     # y.shape); saving the full tensor would keep the shortcut alive
     # through every block's backward — save a dtype-carrying scalar instead.
     res0 = jnp.zeros((), res.dtype)
-    return out, (y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+    return out, (y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 pre_bias)
 
 
 def _vjp_bwd(add_residual, interpret, resids, g):
-    y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma = resids
+    y, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma, pre_bias = resids
     shp = y.shape
     C = shp[-1]
     bwd = _mlp_bwd_2d if fused_mlp_bwd_ok(C) else _mlp_bwd_chunked_2d
     dy, dw1, dw2, db1, db2, dgamma, dlns, dlnb = bwd(
         y.reshape(-1, C), g.reshape(-1, C), ln_scale, ln_bias,
-        w1, b1, w2, b2, gamma, interpret)
+        w1, b1, w2, b2, gamma, pre_bias, interpret)
     dres = (g.astype(res0.dtype) if add_residual
             else jnp.zeros(g.shape, res0.dtype))
+    # y' = y + pre_bias enters only the LN, so d pre_bias is the
+    # token-sum of the LN-input cotangent dy
+    dpre = jnp.sum(dy.astype(jnp.float32), axis=0).astype(pre_bias.dtype)
     return (dy.reshape(shp).astype(y.dtype), dres,
             dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype),
-            dgamma.astype(gamma.dtype))
+            dgamma.astype(gamma.dtype), dpre)
 
 
 fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)

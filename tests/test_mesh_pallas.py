@@ -131,6 +131,7 @@ def _mlp_inputs(rng, n=16, h=4, w=4, c=8):
 def _mlp_loss(y, res, w1, w2, rest, r):
     ln_s, ln_b, b1, b2, gamma = rest
     return jnp.sum(fused_mlp(y, res, ln_s, ln_b, w1, b1, w2, b2, gamma,
+                             jnp.zeros_like(gamma),
                              True, True) * r)
 
 

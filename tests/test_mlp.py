@@ -19,6 +19,7 @@ def _params(rng, c):
         jnp.asarray(rng.standard_normal((c4, c)) * 0.05, jnp.float32),
         jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
         jnp.asarray(np.full(c, 0.5), jnp.float32),                    # gamma
+        jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32),   # pre_bias
     )
 
 
@@ -50,8 +51,8 @@ def test_fused_mlp_grads_match_reference(rng):
         return jnp.sum(pm._reference_mlp(y_, res_, *ps_,
                                          add_residual=True) * r)
 
-    gf = jax.grad(lf, argnums=tuple(range(9)))(y, res, *ps)
-    gr = jax.grad(lr, argnums=tuple(range(9)))(y, res, *ps)
+    gf = jax.grad(lf, argnums=tuple(range(10)))(y, res, *ps)
+    gr = jax.grad(lr, argnums=tuple(range(10)))(y, res, *ps)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
@@ -77,8 +78,8 @@ def test_fused_mlp_bwd_chunked_wide(rng, monkeypatch):
         return jnp.sum(pm._reference_mlp(y_, res_, *ps_,
                                          add_residual=True) * r)
 
-    gf = jax.grad(lf, argnums=tuple(range(9)))(y, res, *ps)
-    gr = jax.grad(lr, argnums=tuple(range(9)))(y, res, *ps)
+    gf = jax.grad(lf, argnums=tuple(range(10)))(y, res, *ps)
+    gr = jax.grad(lr, argnums=tuple(range(10)))(y, res, *ps)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)

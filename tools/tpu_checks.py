@@ -126,7 +126,8 @@ def check_mlp(rng):
           jnp.asarray(rng.standard_normal(c4) * 0.1, jnp.float32),
           jnp.asarray(rng.standard_normal((c4, c)) * 0.05, jnp.float32),
           jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32),
-          jnp.asarray(np.full(c, 0.5), jnp.float32))
+          jnp.asarray(np.full(c, 0.5), jnp.float32),
+          jnp.asarray(rng.standard_normal(c) * 0.3, jnp.float32))  # pre_bias
     r = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.bfloat16)
 
     def lf(y_):
@@ -136,7 +137,7 @@ def check_mlp(rng):
     def lr(y_):
         return jnp.sum((pm._reference_mlp(y_, res, *ps, add_residual=True)
                         * r).astype(jnp.float32))
-    o1 = jax.jit(pm.fused_mlp, static_argnums=(9, 10))(y, res, *ps, True,
+    o1 = jax.jit(pm.fused_mlp, static_argnums=(10, 11))(y, res, *ps, True,
                                                        False)
     o2 = pm._reference_mlp(y, res, *ps, add_residual=True)
     g1 = jax.jit(jax.grad(lf))(y)
