@@ -128,3 +128,45 @@ def test_kd_train_step(rng, distill_type):
     assert losses[-1] < losses[0]  # student learns
     if distill_type == "FD+NKD":
         assert "fd_proj" in kd_params  # 32 != 40 channels -> projection
+
+
+def test_kd_train_step_mesh(rng):
+    """KD step under an 8-device data-parallel mesh (reference runs KD
+    under DDP, main_KD.py): batch-sharded inputs, replicated state, loss
+    matches the single-device step."""
+    from slak_tpu.parallel import make_mesh, replicate, shard_batch
+
+    teacher = M.SLaK(M.SLaKConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 40),
+                                  kernel_size=(13, 11, 9, 7, 5),
+                                  num_classes=10, conv_impl="xla"))
+    student = M.SLaK(M.SLaKConfig(depths=(1, 1, 1, 1), dims=(8, 16, 24, 32),
+                                  kernel_size=(7, 7, 7, 7, 100), decom=False,
+                                  branch_bn=False, num_classes=10,
+                                  conv_impl="xla"))
+    tp, ts = teacher.init(jax.random.PRNGKey(0))
+    tcfg = TrainConfig(ema_decay=0.99)
+    state0 = create_train_state(jax.random.PRNGKey(1), student, tcfg)
+    kd_cfg = KDConfig(distill_type="NKD")
+    kd_params0 = init_kd_params(jax.random.PRNGKey(2), kd_cfg, 32, 40)
+    kd_opt0 = kd_opt_init(kd_params0)
+    teacher_apply = make_teacher_apply(teacher, tp, ts)
+    lr = jnp.asarray(np.full(50, 1e-3, np.float32))
+    step = jax.jit(make_kd_train_step(student, teacher_apply, kd_cfg, tcfg,
+                                      None, lr, None))
+
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 10, 8))
+
+    _, _, _, m0 = step(state0, kd_params0, kd_opt0, (x, y),
+                       jax.random.PRNGKey(0))
+
+    mesh = make_mesh(8)
+    state = replicate(state0, mesh)
+    kd_params = replicate(kd_params0, mesh)
+    kd_opt = replicate(kd_opt0, mesh)
+    batch = shard_batch((x, y), mesh)
+    state, kd_params, kd_opt, m = step(state, kd_params, kd_opt, batch,
+                                       jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    np.testing.assert_allclose(float(m["loss"]), float(m0["loss"]),
+                               rtol=2e-5)
