@@ -249,7 +249,12 @@ def main(args):
     return {"max_accuracy": max_acc}
 
 
-if __name__ == "__main__":
+def cli():
+    """console_scripts entry (pyproject [project.scripts] slak-kd)."""
     parser = argparse.ArgumentParser("SLaK-TPU KD",
                                      parents=[get_kd_args_parser()])
     main(parser.parse_args())
+
+
+if __name__ == "__main__":
+    cli()

@@ -429,6 +429,11 @@ def main(args):
     return {"max_accuracy": max_acc}
 
 
-if __name__ == "__main__":
+def cli():
+    """console_scripts entry (pyproject [project.scripts] slak-train)."""
     parser = argparse.ArgumentParser("SLaK-TPU", parents=[get_args_parser()])
     main(parser.parse_args())
+
+
+if __name__ == "__main__":
+    cli()
