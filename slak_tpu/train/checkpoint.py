@@ -85,13 +85,65 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return best
 
 
+def _cast_like(t_kid: Any, r_kid: Any) -> Any:
+    """Restore r into t's structure with t's leaf dtypes (same treedef)."""
+    import jax.numpy as jnp
+    td = jax.tree_util.tree_structure(t_kid)
+    leaves = [jnp.asarray(r).astype(t.dtype) if hasattr(t, "dtype") else r
+              for r, t in zip(jax.tree_util.tree_leaves(r_kid),
+                              jax.tree_util.tree_leaves(t_kid))]
+    return jax.tree_util.tree_unflatten(td, leaves)
+
+
+def _is_packed(x: Any) -> bool:
+    return isinstance(x, dict) and set(x.keys()) == {"big", "flat"}
+
+
+def _adapt_kid(t_kid: Any, r_kid: Any, plans) -> Optional[Any]:
+    """Adapt a checkpointed subtree whose pack-format differs from the
+    target's: an unpacked (round-2 style) ckpt loads into a packed target
+    (re-packed with the target's plan) and vice versa (unpacked with a
+    plan rebuilt from the target — make_plan is deterministic in the tree
+    structure). Returns None when no adaptation applies."""
+    from slak_tpu.train import packing
+    ts = jax.tree_util.tree_structure
+    if ts(t_kid) == ts(r_kid):
+        return _cast_like(t_kid, r_kid)
+    if _is_packed(t_kid) and not _is_packed(r_kid):
+        for plan in plans:
+            if plan is None:
+                continue
+            unpacked_t = packing.unpack(t_kid, plan)
+            if ts(unpacked_t) == ts(r_kid):
+                return packing.pack(_cast_like(unpacked_t, r_kid), plan)
+        return None
+    if _is_packed(r_kid) and not _is_packed(t_kid):
+        plan = packing.make_plan(t_kid)
+        unpacked_r = packing.unpack(r_kid, plan)
+        if ts(t_kid) == ts(unpacked_r):
+            return _cast_like(t_kid, unpacked_r)
+        return None
+    if (isinstance(t_kid, dict) and isinstance(r_kid, dict)
+            and set(t_kid) == set(r_kid)):
+        out = {}
+        for k in t_kid:
+            a = _adapt_kid(t_kid[k], r_kid[k], plans)
+            if a is None:
+                return None
+            out[k] = a
+        return out
+    return None
+
+
 def auto_load(output_dir: str, target: Any) -> tuple[Any, int]:
     """Resume from the latest checkpoint if present.
 
     Returns (train_state, start_epoch); (target, 0) when nothing found.
-    Tolerates structure drift between the checkpoint and the current run
+    Tolerates structure drift between the checkpoint and the current run:
+    a packed-params state loads from an unpacked (pre-packing) checkpoint
+    and vice versa (see :func:`_adapt_kid`); other mismatched subtrees
     (e.g. the ckpt carries EMA / mask state the current flags don't, or
-    vice versa): mismatched subtrees keep the target's fresh value.
+    vice versa) keep the target's fresh value.
     """
     path = latest_checkpoint(output_dir)
     if path is None:
@@ -102,21 +154,17 @@ def auto_load(output_dir: str, target: Any) -> tuple[Any, int]:
     except ValueError:
         if not hasattr(target, "tree_flatten"):
             raise
-        import jax.numpy as jnp
         raw = restore_pytree(path)  # saved structure, no target
         raw_children = list(raw) if isinstance(raw, (list, tuple)) else [raw]
+        plans = (getattr(target, "plan", None),
+                 getattr(target, "ms_plan", None))
         out_kids = []
         for t_kid, r_kid in zip(target.tree_flatten()[0], raw_children):
             restored = t_kid
             if t_kid is not None and r_kid is not None:
-                td = jax.tree_util.tree_structure(t_kid)
-                if td == jax.tree_util.tree_structure(r_kid):
-                    leaves = [
-                        jnp.asarray(r).astype(t.dtype)
-                        if hasattr(t, "dtype") else r
-                        for r, t in zip(jax.tree_util.tree_leaves(r_kid),
-                                        jax.tree_util.tree_leaves(t_kid))]
-                    restored = jax.tree_util.tree_unflatten(td, leaves)
+                adapted = _adapt_kid(t_kid, r_kid, plans)
+                if adapted is not None:
+                    restored = adapted
             out_kids.append(restored)
         aux = target.tree_flatten()[1]
         return type(target).tree_unflatten(aux, tuple(out_kids)), epoch + 1

@@ -136,3 +136,43 @@ def test_packed_checkpoint_roundtrip(tmp_path):
                                   np.asarray(state.params["flat"]))
     for a, b in zip(state.params["big"], restored.params["big"]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("direction", ["old_to_packed", "packed_to_old"])
+def test_cross_format_checkpoint_resume(tmp_path, direction):
+    """An unpacked (pre-packing, round-2 style) checkpoint must resume
+    into a packed-params run with the WEIGHTS FROM THE CHECKPOINT (not
+    silently keep the fresh target init), and vice versa."""
+    from slak_tpu.train.checkpoint import auto_load, save_checkpoint
+
+    model = _tiny_model()
+    tc_saved = TrainConfig(pack_params=(direction == "packed_to_old"))
+    tc_target = TrainConfig(pack_params=(direction == "old_to_packed"))
+    saved = create_train_state(jax.random.PRNGKey(7), model, tc_saved)
+    save_checkpoint(str(tmp_path), saved, epoch=3)
+
+    target = create_train_state(jax.random.PRNGKey(1), model, tc_target)
+    loaded, start = auto_load(str(tmp_path), target)
+    assert start == 4
+
+    def tree_params(st):
+        return (packing.unpack(st.params, st.plan)
+                if st.plan is not None else st.params)
+
+    got = jax.tree_util.tree_leaves(tree_params(loaded))
+    want = jax.tree_util.tree_leaves(tree_params(saved))
+    fresh = jax.tree_util.tree_leaves(tree_params(target))
+    assert any(not np.allclose(np.asarray(w), np.asarray(f))
+               for w, f in zip(want, fresh))  # distinct inits, else vacuous
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-6)
+    # optimizer moments came through the format adaptation too
+    def tree_mom(st, key):
+        m = st.opt_state[key]
+        return packing.unpack(m, st.plan) if st.plan is not None else m
+    for key in ("mu", "nu"):
+        for g, w in zip(jax.tree_util.tree_leaves(tree_mom(loaded, key)),
+                        jax.tree_util.tree_leaves(tree_mom(saved, key))):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-6, atol=1e-6)
