@@ -1,0 +1,42 @@
+"""Tensor (channel) parallel inference (parallel/tp.py): the 8-way
+channel-sharded forward must reproduce single-device logits. This is a
+capability BEYOND the reference (DP-only, main.py:374-376)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slak_tpu.models import slak as M
+from slak_tpu.parallel import make_mesh
+from slak_tpu.parallel.tp import AXIS, make_tp_apply
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _jitter_state(state, rng):
+    return jax.tree_util.tree_map(
+        lambda l: l + 0.05 * jnp.abs(jnp.asarray(
+            rng.standard_normal(l.shape).astype(np.float32))), state)
+
+
+@pytest.mark.parametrize("decom", [True, False])
+def test_tp_matches_single_device(rng, decom):
+    cfg = M.SLaKConfig(depths=(1, 1, 2, 1), dims=(8, 16, 32, 64),
+                       kernel_size=(13, 11, 9, 7, 5), num_classes=10,
+                       decom=decom, branch_bn=True, conv_impl="xla",
+                       drop_path_rate=0.0)
+    model = M.SLaK(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    state = _jitter_state(state, rng)  # make the BN folds non-trivial
+
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    want, _ = model.apply(params, state, x, train=False)
+
+    mesh = make_mesh(8, axis_name=AXIS)
+    got = make_tp_apply(model, mesh)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
