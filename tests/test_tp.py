@@ -40,3 +40,19 @@ def test_tp_matches_single_device(rng, decom):
     got = make_tp_apply(model, mesh)(params, state, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_tp_convnext_mode(rng):
+    """ConvNeXt mode (no decom, no branch BN, conv bias, small>=K kills
+    the small branch) through the channel-sharded forward."""
+    cfg = M.SLaKConfig(depths=(1, 1, 1, 1), dims=(8, 16, 32, 64),
+                       kernel_size=(7, 7, 7, 7, 100), num_classes=10,
+                       decom=False, branch_bn=False, conv_impl="xla",
+                       drop_path_rate=0.0)
+    model = M.SLaK(cfg)
+    params, state = model.init(jax.random.PRNGKey(2))
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    want, _ = model.apply(params, state, x, train=False)
+    got = make_tp_apply(model, make_mesh(8, axis_name=AXIS))(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
