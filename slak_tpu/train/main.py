@@ -131,6 +131,10 @@ def get_args_parser():
     p.add_argument("--save_ckpt_num", default=3, type=int)
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--eval", type=str2bool, default=False)
+    p.add_argument("--tp_eval", type=str2bool, default=False,
+                   help="channel/tensor-parallel eval over all devices "
+                        "(parallel/tp.py); widths must divide the device "
+                        "count")
     p.add_argument("--finetune", default="", help="torch ckpt to convert")
     p.add_argument("--n_devices", default=None, type=int)
     p.add_argument("--multi_host", type=str2bool, default=False)
@@ -329,8 +333,27 @@ def main(args):
     state = replicate(state, mesh)
 
     if args.eval:
+        ev_mesh = mesh
+        if args.tp_eval:
+            # channel-sharded forward: batch replicated, channels split
+            # over the mesh (parallel/tp.py) — the TP path of the rebuilt
+            # framework (the reference has no model parallelism)
+            from slak_tpu.parallel.tp import AXIS, make_tp_apply
+            from slak_tpu.train import losses as L
+            tp_fwd = make_tp_apply(model, make_mesh(args.n_devices,
+                                        axis_name=AXIS))
+            cdt = jnp.bfloat16 if args.use_bf16 else jnp.float32
+
+            def eval_step(params, model_state, batch):  # noqa: F811
+                images, labels = batch
+                logits = tp_fwd(params, model_state, images.astype(cdt))
+                return {"loss": L.cross_entropy(logits, labels),
+                        "acc1": L.accuracy_topk(logits, labels, 1),
+                        "acc5": L.accuracy_topk(logits, labels, 5),
+                        "n": jnp.float32(labels.shape[0])}
+            ev_mesh = None
         stats = evaluate(eval_step, state.tree_params(), state.model_state,
-                         dl_val, mesh)
+                         dl_val, ev_mesh)
         print(f"Accuracy of the network: top-1 {stats['acc1']*100:.2f}%, "
               f"top-5 {stats['acc5']*100:.2f}%")
         return stats

@@ -73,3 +73,16 @@ def test_train_cli_profile_and_mixup_mode(tmp_path):
     found = any(f.endswith((".pb", ".json.gz", ".xplane.pb"))
                 for _, _, fs in os.walk(prof) for f in fs)
     assert found, "no profiler artifacts written"
+
+
+def test_train_cli_tp_eval(tmp_path):
+    """--tp_eval: channel-sharded evaluation through the CLI (4-way mesh;
+    SLaK_debug widths 8/16/24/32 all divide 4)."""
+    from slak_tpu.train.main import get_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    out = str(tmp_path / "run")
+    main(p.parse_args(BASE + ["--output_dir", out]))
+    stats = main(p.parse_args(
+        BASE[:-2] + ["--n_devices", "4", "--output_dir", out,
+                     "--eval", "true", "--tp_eval", "true"]))
+    assert 0.0 <= stats["acc1"] <= 1.0
