@@ -24,6 +24,18 @@ depthwise convs are exactly channel-local):
 
 Per block: one (T, C) all_gather + one (T, C) psum + the tiny LN psums —
 all on ICI. Eval only (BN running stats are read, never written).
+
+Non-divisible widths (the flagship SLaK-T at width_factor 1.3 has stage
+dims 124/**249**/**499**/998 — 249 odd, 499 prime) are served by
+ZERO-PADDING every channel axis up to a multiple of the mesh axis before
+sharding (``pad_for_tp``). The pad lanes are exact no-ops by
+construction: pad activations are identically zero at every layer
+(LN scale/bias pad to 0, conv taps/biases/BN affines pad to 0, BN
+running var pads to 1 so the fold is finite), and every cross-channel
+reduction — the LN psum moments and the final head contraction — is
+normalized by the REAL channel count, to which zero lanes contribute
+nothing. Logits therefore match the unpadded single-device forward
+bit-for-bit up to reduction-order rounding.
 """
 
 from __future__ import annotations
@@ -85,6 +97,64 @@ def make_specs(params: Any, state: Any) -> Tuple[Any, Any]:
 
 
 # ---------------------------------------------------------------------------
+# zero-padding to the mesh axis (flagship widths are odd/prime)
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n: int, d: int) -> int:
+    return -(-n // d) * d
+
+
+def _pad_axes(leaf: Array, axes, d: int, value: float = 0.0) -> Array:
+    pads = [(0, 0)] * leaf.ndim
+    changed = False
+    for ax in axes:
+        extra = _round_up(leaf.shape[ax], d) - leaf.shape[ax]
+        if extra:
+            pads[ax] = (0, extra)
+            changed = True
+    if not changed:
+        return leaf
+    return jnp.pad(leaf, pads, constant_values=value)
+
+
+def _pad_param(name: str, leaf: Array, d: int) -> Array:
+    if name.startswith("head."):
+        # head.w (C, classes): pad the contraction only; head.b untouched
+        return _pad_axes(leaf, (0,), d) if name.endswith(".w") else leaf
+    if name.endswith("pwconv1.w") or name.endswith("pwconv2.w"):
+        return _pad_axes(leaf, (0, 1), d)
+    if leaf.ndim == 4:                              # downsample convs (HWIO)
+        if "downsample.0" in name:
+            return _pad_axes(leaf, (3,), d)         # stem: RGB input stays 3
+        return _pad_axes(leaf, (2, 3), d)
+    if leaf.ndim == 3:                              # dw branch taps (kh,kw,C)
+        return _pad_axes(leaf, (2,), d)
+    if leaf.ndim == 1:
+        # per-channel vectors (LN/BN scale+bias, conv biases, gamma, MLP
+        # biases): zero pads make the pad lanes emit exactly 0
+        return _pad_axes(leaf, (0,), d)
+    raise ValueError(f"unmapped param {name} {leaf.shape}")
+
+
+def pad_for_tp(params: Any, state: Any, d: int) -> Tuple[Any, Any]:
+    """Zero-pad every channel axis up to a multiple of ``d``.
+
+    Pad lanes are mathematically inert (see module docstring): weights,
+    biases, and affine scales pad with 0; BN running variance pads with 1
+    so ``fold_bn``'s rsqrt stays tame (the folded multiplier is 0 anyway
+    because the BN scale pad is 0)."""
+    pp = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _pad_param(_path_str(path), leaf, d), params)
+    ss = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _pad_axes(
+            leaf, (0,), d,
+            value=1.0 if _path_str(path).endswith("var") else 0.0),
+        state)
+    return pp, ss
+
+
+# ---------------------------------------------------------------------------
 # channel-sharded building blocks
 # ---------------------------------------------------------------------------
 
@@ -135,15 +205,16 @@ def _tp_block(x_local: Array, p: Any, s: Any, cfg: M.SLaKConfig,
     return shortcut + o_local
 
 
-def _tp_downsample(x, p, idx: int, c_in_full: int):
+def _tp_downsample(x, p, idx: int, c_in_full: int, c_out_full: int):
     if idx == 0:
-        # stem: replicated RGB input, output-channel-sharded filter
+        # stem: replicated RGB input, output-channel-sharded filter. The
+        # LN normalizer is the REAL output width (pad lanes are zero and
+        # contribute nothing to the psum moments).
         w = p["conv"]["w"]
         x = lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(4, 4), padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = x + p["conv"]["b"].astype(x.dtype)
-        c_out_full = w.shape[-1] * lax.psum(1, AXIS)
         return _tp_layer_norm(x, p["norm"]["scale"], p["norm"]["bias"],
                               c_out_full)
     x = _tp_layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], c_in_full)
@@ -160,7 +231,7 @@ def _tp_forward(params, state, x, cfg: M.SLaKConfig):
     dims = cfg.widened_dims
     for i in range(4):
         x = _tp_downsample(x, params["downsample"][i], i,
-                           dims[i - 1] if i else None)
+                           dims[i - 1] if i else None, dims[i])
         for j, bp in enumerate(params["stages"][i]):
             x = _tp_block(x, bp, state["stages"][i][j], cfg, dims[i])
     pooled = jnp.mean(x, axis=(1, 2))
@@ -174,16 +245,17 @@ def _tp_forward(params, state, x, cfg: M.SLaKConfig):
 
 def make_tp_apply(model: M.SLaK, mesh: Mesh):
     """Jitted channel-sharded eval forward: ``fn(params, state, x) ->
-    logits``. Pass FULL (unsharded) params/state/x — shard_map slices
-    them per the spec trees. Every stage width and 4*width must divide
-    the mesh axis size."""
+    logits``. Pass FULL (unsharded, unpadded) params/state/x — widths
+    that don't divide the mesh axis are zero-padded to it inside the jit
+    (``pad_for_tp``; exact, see module docstring), then shard_map slices
+    everything per the spec trees."""
     cfg = model.cfg
     d = mesh.shape[AXIS]
-    for c in cfg.widened_dims:
-        assert c % d == 0 and (4 * c) % d == 0, \
-            f"width {c} not divisible by mesh axis {d}"
+    needs_pad = any(c % d or (4 * c) % d for c in cfg.widened_dims)
 
     def build(params, state, x):
+        if needs_pad:
+            params, state = pad_for_tp(params, state, d)
         pspecs, sspecs = make_specs(params, state)
         fn = jax.shard_map(
             functools.partial(_tp_forward, cfg=cfg),

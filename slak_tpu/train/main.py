@@ -133,8 +133,8 @@ def get_args_parser():
     p.add_argument("--eval", type=str2bool, default=False)
     p.add_argument("--tp_eval", type=str2bool, default=False,
                    help="channel/tensor-parallel eval over all devices "
-                        "(parallel/tp.py); widths must divide the device "
-                        "count")
+                        "(parallel/tp.py); non-divisible widths (e.g. the "
+                        "flagship 124/249/499/998) are zero-padded exactly")
     p.add_argument("--finetune", default="", help="torch ckpt to convert")
     p.add_argument("--n_devices", default=None, type=int)
     p.add_argument("--multi_host", type=str2bool, default=False)

@@ -76,13 +76,16 @@ def test_train_cli_profile_and_mixup_mode(tmp_path):
 
 
 def test_train_cli_tp_eval(tmp_path):
-    """--tp_eval: channel-sharded evaluation through the CLI (4-way mesh;
-    SLaK_debug widths 8/16/24/32 all divide 4)."""
+    """--tp_eval: channel-sharded evaluation through the CLI (4-way mesh)
+    at a NON-divisible width factor — SLaK_debug dims (8,16,24,32) * 1.3
+    -> (10,20,31,41), 31/41 prime — driving the pad_for_tp route the
+    flagship (124/249/499/998) takes in production."""
     from slak_tpu.train.main import get_args_parser, main
     p = argparse.ArgumentParser(parents=[get_args_parser()])
     out = str(tmp_path / "run")
-    main(p.parse_args(BASE + ["--output_dir", out]))
+    wf = ["--width_factor", "1.3"]
+    main(p.parse_args(BASE + wf + ["--output_dir", out]))
     stats = main(p.parse_args(
-        BASE[:-2] + ["--n_devices", "4", "--output_dir", out,
-                     "--eval", "true", "--tp_eval", "true"]))
+        BASE[:-2] + wf + ["--n_devices", "4", "--output_dir", out,
+                          "--eval", "true", "--tp_eval", "true"]))
     assert 0.0 <= stats["acc1"] <= 1.0

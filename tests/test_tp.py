@@ -42,6 +42,29 @@ def test_tp_matches_single_device(rng, decom):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_tp_flagship_widths(rng):
+    """The flagship SLaK-T width_factor=1.3 stage dims are 124/249/499/998
+    — 249 odd, 499 prime, none divisible by 8. make_tp_apply must serve
+    them via exact zero-padding (pad_for_tp) and still reproduce the
+    single-device logits."""
+    cfg = M.SLaKConfig(depths=(1, 1, 2, 1), dims=(96, 192, 384, 768),
+                       width_factor=1.3, kernel_size=(13, 11, 9, 7, 5),
+                       num_classes=10, decom=True, branch_bn=True,
+                       conv_impl="xla", drop_path_rate=0.0)
+    assert cfg.widened_dims == (124, 249, 499, 998)
+    model = M.SLaK(cfg)
+    params, state = model.init(jax.random.PRNGKey(1))
+    state = _jitter_state(state, rng)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    want, _ = model.apply(params, state, x, train=False)
+
+    mesh = make_mesh(8, axis_name=AXIS)
+    got = make_tp_apply(model, mesh)(params, state, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_tp_convnext_mode(rng):
     """ConvNeXt mode (no decom, no branch BN, conv bias, small>=K kills
     the small branch) through the channel-sharded forward."""
