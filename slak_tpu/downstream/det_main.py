@@ -49,6 +49,13 @@ def get_det_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate COCO-style box+mask AP (the metric the "
+                        "reference's 48.4/41.8 AP table is denominated in) "
+                        "instead of training; restores the latest "
+                        "checkpoint from --output_dir if present")
+    p.add_argument("--eval_batches", type=int, default=8)
+    p.add_argument("--max_dets", type=int, default=100)
     return p
 
 
@@ -175,6 +182,49 @@ def main(args) -> Dict[str, Any]:
             start_it = int(ck.rsplit("-", 1)[1])
 
     rng_np = np.random.default_rng(args.seed)
+
+    if args.eval:
+        # pycocotools CocoMetric counterpart (the reference's 48.4 box /
+        # 41.8 mask AP table, /root/reference/README.md:200): fixed-shape
+        # jitted cascade inference, host-side COCO matching/AP.
+        from slak_tpu.downstream.detection import cascade_predict
+        from slak_tpu.downstream.metrics import coco_ap
+
+        @jax.jit
+        def predict_step(params, state, x):
+            feats, _ = backbone_forward(
+                params["backbone"], state["backbone"], x, bcfg, train=False)
+            return cascade_predict(params["head"], state["head"], feats,
+                                   (size, size), hcfg,
+                                   max_dets=args.max_dets)
+
+        dets, gts = [], []
+        for _ in range(args.eval_batches):
+            x, gb, gl, gv, gm = _synthetic_det_batch(
+                rng_np, args.batch_size, size, args.num_gts,
+                hcfg.num_classes)
+            boxes, scores, labels, masks = jax.device_get(
+                predict_step(params, state, x))
+            for i in range(x.shape[0]):
+                dets.append({"boxes": boxes[i], "scores": scores[i],
+                             "labels": labels[i], "masks": masks[i]})
+                gts.append({"boxes": np.asarray(gb[i]),
+                            "labels": np.asarray(gl[i]),
+                            "valid": np.asarray(gv[i]),
+                            "masks": np.asarray(gm[i])})
+        box = coco_ap(dets, gts, hcfg.num_classes, "bbox")
+        segm = coco_ap(dets, gts, hcfg.num_classes, "segm",
+                       img_hw=(size, size))
+        stats = {"bbox_AP": box["AP"], "bbox_AP50": box["AP50"],
+                 "bbox_AP75": box["AP75"], "segm_AP": segm["AP"],
+                 "segm_AP50": segm["AP50"]}
+        print("eval: " + "  ".join(f"{k} {v * 100:.2f}"
+                                   for k, v in stats.items()), flush=True)
+        if args.output_dir:
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(stats) + "\n")
+        return stats
+
     logger = MetricLogger(delimiter="  ")
     t0 = time.time()
     tot = jnp.zeros(())

@@ -49,6 +49,14 @@ def get_seg_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_bf16", default=False,
                    type=lambda s: str(s).lower() in ("1", "true", "yes"))
+    p.add_argument("--eval", action="store_true",
+                   help="evaluate mIoU/mAcc/aAcc (the metric the "
+                        "reference's 47.6 mIoU table is denominated in) "
+                        "instead of training; restores the latest "
+                        "checkpoint from --output_dir if present")
+    p.add_argument("--eval_batches", type=int, default=8,
+                   help="synthetic eval batches (ade_folder evaluates "
+                        "every image once, center-cropped)")
     return p
 
 
@@ -98,28 +106,49 @@ class _AdeFolder:
                                   os.path.splitext(os.path.basename(p))[0]
                                   + ".png") for p in self.imgs]
 
-    def batch(self, rng: np.random.Generator, n: int):
+    def _load(self, i: int):
         from PIL import Image
+        img = np.asarray(Image.open(self.imgs[i]).convert("RGB"))
+        ann = np.asarray(Image.open(self.anns[i]))
+        h, w = img.shape[:2]
+        c = self.crop
+        if h < c or w < c:
+            ph, pw = max(0, c - h), max(0, c - w)
+            img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
+            ann = np.pad(ann, ((0, ph), (0, pw)), constant_values=0)
+        return img, ann
+
+    @staticmethod
+    def _normalize(img, ann, y0: int, x0: int, c: int):
         mean = np.array([0.485, 0.456, 0.406], np.float32)
         std = np.array([0.229, 0.224, 0.225], np.float32)
+        x = (img[y0:y0 + c, x0:x0 + c] / 255.0 - mean) / std
+        lab = ann[y0:y0 + c, x0:x0 + c].astype(np.int32) - 1
+        return x, np.where(lab < 0, 255, lab)
+
+    def batch(self, rng: np.random.Generator, n: int):
         xs, ys = [], []
+        c = self.crop
         for i in rng.integers(0, len(self.imgs), n):
-            img = np.asarray(Image.open(self.imgs[i]).convert("RGB"))
-            ann = np.asarray(Image.open(self.anns[i]))
+            img, ann = self._load(int(i))
             h, w = img.shape[:2]
-            c = self.crop
-            if h < c or w < c:
-                ph, pw = max(0, c - h), max(0, c - w)
-                img = np.pad(img, ((0, ph), (0, pw), (0, 0)))
-                ann = np.pad(ann, ((0, ph), (0, pw)), constant_values=0)
-                h, w = img.shape[:2]
             y0 = int(rng.integers(0, h - c + 1))
             x0 = int(rng.integers(0, w - c + 1))
-            xs.append((img[y0:y0 + c, x0:x0 + c] / 255.0 - mean) / std)
-            lab = ann[y0:y0 + c, x0:x0 + c].astype(np.int32) - 1
-            ys.append(np.where(lab < 0, 255, lab))
+            x, y = self._normalize(img, ann, y0, x0, c)
+            xs.append(x)
+            ys.append(y)
         return (jnp.asarray(np.stack(xs), jnp.float32),
                 jnp.asarray(np.stack(ys), jnp.int32))
+
+    def eval_iter(self):
+        """Deterministic pass: every image once, center-cropped (batch 1)."""
+        c = self.crop
+        for i in range(len(self.imgs)):
+            img, ann = self._load(i)
+            h, w = img.shape[:2]
+            x, y = self._normalize(img, ann, (h - c) // 2, (w - c) // 2, c)
+            yield (jnp.asarray(x[None], jnp.float32),
+                   jnp.asarray(y[None], jnp.int32))
 
 
 def _load_backbone_params(path: str, params):
@@ -136,8 +165,8 @@ def _load_backbone_params(path: str, params):
 
 def main(args) -> Dict[str, Any]:
     from slak_tpu.downstream.configs import SEG_CONFIGS, poly_schedule
-    from slak_tpu.downstream.segmentation import (init_upernet, seg_loss,
-                                                  upernet_forward)
+    from slak_tpu.downstream.segmentation import (_resize, init_upernet,
+                                                  seg_loss, upernet_forward)
     from slak_tpu.models.backbone import backbone_forward, init_backbone
     from slak_tpu.train.checkpoint import (latest_checkpoint, restore_pytree,
                                            save_pytree)
@@ -199,6 +228,41 @@ def main(args) -> Dict[str, Any]:
     rng_np = np.random.default_rng(args.seed)
     folder = (_AdeFolder(args.data_path, crop)
               if args.data_set == "ade_folder" else None)
+
+    if args.eval:
+        # mmseg IoUMetric counterpart (the reference's mIoU table,
+        # /root/reference/README.md:188-193): jitted fixed-shape
+        # confusion-matrix accumulation, host-side reductions.
+        from slak_tpu.downstream.metrics import confusion_matrix, seg_scores
+
+        @jax.jit
+        def eval_step(params, bstate, cm, x, y):
+            dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+            feats, _ = backbone_forward(params["backbone"], bstate,
+                                        x.astype(dtype), bcfg, train=False)
+            lg, _ = upernet_forward(params["head"], feats, hcfg, train=False)
+            lg = _resize(lg, y.shape[1], y.shape[2]).astype(jnp.float32)
+            return cm + confusion_matrix(jnp.argmax(lg, -1), y,
+                                         hcfg.num_classes)
+
+        cm = jnp.zeros((hcfg.num_classes, hcfg.num_classes), jnp.int32)
+        if folder is not None:
+            for x, y in folder.eval_iter():
+                cm = eval_step(params, bstate, cm, x, y)
+        else:
+            for _ in range(args.eval_batches):
+                x, y = _synthetic_seg_batch(rng_np, batch, crop,
+                                            hcfg.num_classes)
+                cm = eval_step(params, bstate, cm, x, y)
+        s = seg_scores(np.asarray(cm))
+        stats = {"mIoU": s["mIoU"], "mAcc": s["mAcc"], "aAcc": s["aAcc"]}
+        print("eval: " + "  ".join(f"{k} {v * 100:.2f}"
+                                   for k, v in stats.items()), flush=True)
+        if args.output_dir:
+            with open(os.path.join(args.output_dir, "log.txt"), "a") as f:
+                f.write(json.dumps(stats) + "\n")
+        return stats
+
     logger = MetricLogger(delimiter="  ")
     t0 = time.time()
     loss = jnp.zeros(())

@@ -28,6 +28,37 @@ def test_seg_cli_roundtrip(tmp_path):
     assert os.path.exists(os.path.join(out, "checkpoint-3"))
 
 
+def test_seg_cli_eval_miou(tmp_path):
+    """--eval: mIoU/mAcc/aAcc from the jitted confusion-matrix accumulator
+    (the number the reference's README mIoU table reports), restoring the
+    trained checkpoint."""
+    from slak_tpu.downstream.seg_main import get_seg_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_seg_args_parser()])
+    out = str(tmp_path / "seg")
+    base = ["--smoke", "--crop_size", "64", "--batch_size", "2",
+            "--log_every", "1", "--save_every", "2", "--output_dir", out]
+    main(p.parse_args(base + ["--max_iters", "2"]))
+    stats = main(p.parse_args(base + ["--eval", "--eval_batches", "2"]))
+    for k in ("mIoU", "mAcc", "aAcc"):
+        assert 0.0 <= stats[k] <= 1.0
+    # random labels vs a barely-trained head: aAcc must be near chance,
+    # proving the matrix actually accumulated predictions
+    assert stats["aAcc"] > 0.0
+
+
+def test_det_cli_eval_ap(tmp_path):
+    """--eval: COCO-style box+mask AP over cascade_predict outputs (the
+    number the reference's README AP table reports)."""
+    from slak_tpu.downstream.det_main import get_det_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_det_args_parser()])
+    args = p.parse_args(["--smoke", "--img_size", "64", "--batch_size", "1",
+                         "--num_gts", "3", "--eval", "--eval_batches", "2",
+                         "--max_dets", "8"])
+    stats = main(args)
+    for k in ("bbox_AP", "bbox_AP50", "bbox_AP75", "segm_AP", "segm_AP50"):
+        assert 0.0 <= stats[k] <= 1.0
+
+
 def test_det_cli_smoke(tmp_path):
     from slak_tpu.downstream.det_main import get_det_args_parser, main
     p = argparse.ArgumentParser(parents=[get_det_args_parser()])
