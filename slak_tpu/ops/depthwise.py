@@ -123,9 +123,10 @@ def banded_train_ok(x: Array, w: Array, interpret: bool = False) -> bool:
     path with its custom MXU VJP (fwd + dgrad + wgrad all banded dots).
 
     Hard constraints: odd taps (the flipped-tap dgrad identity) and
-    batch % 128 == 0 — Mosaic lowers the kernels' dots by merging (W, nb)
-    into the lane axis, which needs full 128-lane blocks (padding the batch
-    in training would inflate fwd+dgrad+wgrad; not worth it, measured).
+    batch >= 64 — Mosaic lowers the kernels' dots by merging (W, nb) into
+    the lane axis, which needs full 128-lane blocks; non-multiples are
+    zero-padded up to 128 (exact: padded rows are zero in x, contribute
+    zero to wgrad and the fused BN sums, and their dx rows are sliced).
 
     Measured v5e bs128 bf16 (fwd+dgrad+wgrad per branch, ms, 2026-08-17,
     unpadded-contraction kernels):
@@ -133,13 +134,20 @@ def banded_train_ok(x: Array, w: Array, interpret: bool = False) -> bool:
       28x28 C=249 (49,5): xla 12.6 -> banded 7.15 (1.76x)
       14x14 C=499 (47,5): xla  8.3 -> banded 5.41 (1.53x, 1-D)
        7x7  C=998 (13,5): xla 4.33 -> banded 4.26 (parity, 2-D Toeplitz)
-    => gate at max(kh, kw) >= 31, plus the tiny-map 2-D regime."""
+    => gate at max(kh, kw) >= 31, plus the tiny-map 2-D regime.
+
+    Batch crossover (tools/probe_batch.py, pad-to-128 banded vs XLA
+    autodiff, bf16 train chains, 2026-08-18): ratios xla/banded
+      s1 56x56 C124 (51,5): bs32 0.81 | bs64 1.40 | bs96 1.75 | bs128 2.30
+      s2 28x28 C249 (49,5): bs32 0.91 | bs64 1.28 | bs96 1.61 | bs128 2.01
+    => padded banded wins from bs64 up at both stages; XLA keeps bs<64."""
     from slak_tpu.ops.pallas_banded import batch_block, use_banded2d
     kh, kw, _ = w.shape
     if kh % 2 != 1 or kw % 2 != 1:
         return False
     if not interpret and not (
-            _on_tpu() and batch_block(x.shape[0], x.dtype) is not None):
+            _on_tpu() and (batch_block(x.shape[0], x.dtype) is not None
+                           or x.shape[0] >= 64)):
         return False
     return (max(kh, kw) >= 31
             or (max(kh, kw) >= 13     # tiny (5,5) branches stay on XLA

@@ -53,7 +53,10 @@ def check_banded(rng):
     for (n, h, w_, c, kh, kw, tag, tol) in [
             (128, 56, 56, 37, 51, 5, "s1 1d", 1e-2),
             (128, 28, 28, 37, 5, 49, "s2 rect-twin", 1e-2),
-            (128, 7, 7, 37, 13, 5, "s4 2d", 1e-2)]:
+            (128, 7, 7, 37, 13, 5, "s4 2d", 1e-2),
+            # sub-128 batch: the pad-to-128 route banded_train_ok now
+            # admits at bs >= 64 (probe_batch crossover, 2026-08-18)
+            (96, 56, 56, 37, 51, 5, "s1 bs96-pad", 1e-2)]:
         x = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.bfloat16)
         wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
         r = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.bfloat16)
@@ -83,7 +86,8 @@ def check_banded_stats(rng):
     ok = True
     for (n, h, w_, c, kh, kw, tag) in [
             (128, 56, 56, 37, 51, 5, "s1 1d"),
-            (128, 28, 28, 37, 5, 49, "s2 rect-twin")]:
+            (128, 28, 28, 37, 5, 49, "s2 rect-twin"),
+            (96, 28, 28, 37, 49, 5, "s2 bs96-pad")]:
         x = jnp.asarray(rng.standard_normal((n, h, w_, c)), jnp.bfloat16)
         wt = jnp.asarray(rng.standard_normal((kh, kw, c)) * 0.1, jnp.float32)
         cnt = n * h * w_
