@@ -26,6 +26,11 @@ Array = jax.Array
 class MixupConfig:
     mixup_alpha: float = 0.8
     cutmix_alpha: float = 1.0
+    # timm --cutmix_minmax: when set, cutmix boxes are sampled by side
+    # fraction ~ U(minmax) per axis (rand_bbox_minmax, mixup.py:48-74)
+    # instead of from lam; cutmix is then always enabled (timm sets
+    # cutmix_alpha aside) and lam comes from the exact box area.
+    cutmix_minmax: Tuple[float, float] | None = None
     prob: float = 1.0              # mixup_prob: apply mixing at all
     switch_prob: float = 0.5       # choose cutmix over mixup
     mode: str = "batch"
@@ -34,7 +39,12 @@ class MixupConfig:
 
     @property
     def enabled(self) -> bool:
-        return self.mixup_alpha > 0 or self.cutmix_alpha > 0
+        return (self.mixup_alpha > 0 or self.cutmix_alpha > 0
+                or self.cutmix_minmax is not None)
+
+    @property
+    def cutmix_enabled(self) -> bool:
+        return self.cutmix_alpha > 0 or self.cutmix_minmax is not None
 
 
 def one_hot(labels: Array, num_classes: int, on: float, off: float) -> Array:
@@ -72,6 +82,27 @@ def _rand_bbox(rng: Array, h: int, w: int, lam: Array
     return y1, y2, x1, x2
 
 
+def _rand_bbox_minmax(rng: Array, h: int, w: int, minmax
+                      ) -> Tuple[Array, Array, Array, Array]:
+    """timm rand_bbox_minmax (mixup.py:48-74): per-axis side fraction
+    ~ U(minmax), box placed fully inside the image; lam is then taken
+    from the exact box area by the caller."""
+    kh, kw, ky, kx = jax.random.split(rng, 4)
+    cut_h = jax.random.randint(kh, (), int(h * minmax[0]),
+                               max(int(h * minmax[1]), int(h * minmax[0]) + 1))
+    cut_w = jax.random.randint(kw, (), int(w * minmax[0]),
+                               max(int(w * minmax[1]), int(w * minmax[0]) + 1))
+    y1 = jax.random.randint(ky, (), 0, jnp.maximum(h - cut_h, 1))
+    x1 = jax.random.randint(kx, (), 0, jnp.maximum(w - cut_w, 1))
+    return y1, y1 + cut_h, x1, x1 + cut_w
+
+
+def _cut_box(rng: Array, h: int, w: int, lam: Array, cfg: "MixupConfig"):
+    if cfg.cutmix_minmax is not None:
+        return _rand_bbox_minmax(rng, h, w, cfg.cutmix_minmax)
+    return _rand_bbox(rng, h, w, lam)
+
+
 def _beta(rng: Array, alpha: float, shape=()) -> Array:
     return jax.random.beta(rng, alpha, alpha, shape)
 
@@ -88,7 +119,7 @@ def _mix_elem_or_pair(rng: Array, images: Array, labels: Array,
     k_lam_m, k_lam_c, k_sw, k_ap, k_box = jax.random.split(rng, 5)
 
     use_cutmix = jnp.logical_and(
-        cfg.cutmix_alpha > 0,
+        cfg.cutmix_enabled,
         jnp.logical_or(cfg.mixup_alpha <= 0,
                        jax.random.uniform(k_sw, (m,)) < cfg.switch_prob))
     lam_m = _beta(k_lam_m, cfg.mixup_alpha, (m,)) if cfg.mixup_alpha > 0 \
@@ -97,7 +128,7 @@ def _mix_elem_or_pair(rng: Array, images: Array, labels: Array,
         else jnp.ones((m,))
     apply = jax.random.uniform(k_ap, (m,)) < cfg.prob
 
-    boxes = jax.vmap(lambda k, l: jnp.stack(_rand_bbox(k, h, w, l)))(
+    boxes = jax.vmap(lambda k, l: jnp.stack(_cut_box(k, h, w, l, cfg)))(
         jax.random.split(k_box, m), lam_c)              # (m, 4)
 
     if cfg.mode == "pair":
@@ -147,7 +178,7 @@ def mixup_cutmix(rng: Array, images: Array, labels: Array,
     k_apply, k_switch, k_lam_m, k_lam_c, k_box = jax.random.split(rng, 5)
 
     use_cutmix = jnp.logical_and(
-        cfg.cutmix_alpha > 0,
+        cfg.cutmix_enabled,
         jnp.logical_or(cfg.mixup_alpha <= 0,
                        jax.random.uniform(k_switch) < cfg.switch_prob))
     lam_mix = _beta(k_lam_m, cfg.mixup_alpha) if cfg.mixup_alpha > 0 else \
@@ -164,7 +195,7 @@ def mixup_cutmix(rng: Array, images: Array, labels: Array,
     mixed_m = images * lam_mix + flipped * (1.0 - lam_mix)
 
     # cutmix branch: paste flipped box, correct lam by true box area
-    y1, y2, x1, x2 = _rand_bbox(k_box, h, w, lam_cut)
+    y1, y2, x1, x2 = _cut_box(k_box, h, w, lam_cut, cfg)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     in_box = ((rows >= y1) & (rows < y2) & (cols >= x1) & (cols < x2))

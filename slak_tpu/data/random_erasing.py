@@ -32,6 +32,10 @@ class RandomErasingConfig:
     min_aspect: float = 0.3
     max_aspect: float = 1.0 / 0.3
     count: int = 1
+    # timm --remode: 'pixel' = per-pixel normal noise, 'rand' = one
+    # normal draw per channel, 'const' = zeros
+    # (timm1/data/random_erasing.py:10-23 _get_pixels)
+    mode: str = "pixel"
 
 
 def _erase_one(rng: Array, img: Array, cfg: RandomErasingConfig) -> Array:
@@ -55,8 +59,16 @@ def _erase_one(rng: Array, img: Array, cfg: RandomErasingConfig) -> Array:
     box = ((rows >= top) & (rows < top + eh)
            & (cols >= left) & (cols < left + ew)) & apply
 
-    noise = jax.random.normal(keys[5], img.shape, jnp.float32)
-    return jnp.where(box[:, :, None], noise.astype(img.dtype), img)
+    if cfg.mode == "pixel":
+        fill = jax.random.normal(keys[5], img.shape, jnp.float32)
+    elif cfg.mode == "rand":
+        fill = jnp.broadcast_to(
+            jax.random.normal(keys[5], (1, 1, c), jnp.float32), img.shape)
+    elif cfg.mode == "const":
+        fill = jnp.zeros(img.shape, jnp.float32)
+    else:
+        raise ValueError(f"unknown random-erasing mode {cfg.mode!r}")
+    return jnp.where(box[:, :, None], fill.astype(img.dtype), img)
 
 
 def random_erasing(rng: Array, images: Array,

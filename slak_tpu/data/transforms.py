@@ -25,7 +25,21 @@ from slak_tpu.data.auto_augment import RandAugment, rand_augment_from_config
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# timm's inception/default stats, selected by the reference's
+# --imagenet_default_mean_and_std false (datasets.py:55-60)
+INCEPTION_MEAN = np.array([0.5, 0.5, 0.5], np.float32)
+INCEPTION_STD = np.array([0.5, 0.5, 0.5], np.float32)
 DEFAULT_CROP_PCT = 0.875
+
+_RESAMPLE = {"bicubic": Image.BICUBIC, "bilinear": Image.BILINEAR}
+
+
+def _pick_resample(interpolation: str):
+    """timm's --train_interpolation: 'random' draws bilinear-vs-bicubic
+    per image (timm1/data/transforms.py RandomResizedCropAndInterpolation)."""
+    if interpolation == "random":
+        return random.choice((Image.BILINEAR, Image.BICUBIC))
+    return _RESAMPLE[interpolation]
 
 
 def sample_rrc_box(w: int, h: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
@@ -52,32 +66,12 @@ def sample_rrc_box(w: int, h: int, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
 
 
 def random_resized_crop(img: Image.Image, size: int,
-                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)
-                        ) -> Image.Image:
+                        scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                        interpolation: str = "bicubic") -> Image.Image:
     """torchvision RandomResizedCrop semantics (10 attempts, center fallback)."""
-    w, h = img.size
-    area = w * h
-    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
-    for _ in range(10):
-        target_area = area * random.uniform(*scale)
-        aspect = math.exp(random.uniform(*log_ratio))
-        cw = int(round(math.sqrt(target_area * aspect)))
-        ch = int(round(math.sqrt(target_area / aspect)))
-        if 0 < cw <= w and 0 < ch <= h:
-            left = random.randint(0, w - cw)
-            top = random.randint(0, h - ch)
-            return img.resize((size, size), Image.BICUBIC,
-                              box=(left, top, left + cw, top + ch))
-    # fallback: center crop at clamped aspect
-    in_ratio = w / h
-    if in_ratio < ratio[0]:
-        cw, ch = w, int(round(w / ratio[0]))
-    elif in_ratio > ratio[1]:
-        ch, cw = h, int(round(h * ratio[1]))
-    else:
-        cw, ch = w, h
-    left, top = (w - cw) // 2, (h - ch) // 2
-    return img.resize((size, size), Image.BICUBIC,
+    resample = _pick_resample(interpolation)
+    left, top, cw, ch = sample_rrc_box(*img.size, scale, ratio)
+    return img.resize((size, size), resample,
                       box=(left, top, left + cw, top + ch))
 
 
@@ -111,9 +105,10 @@ def color_jitter(img: Image.Image, amount: float = 0.4) -> Image.Image:
     return img
 
 
-def normalize(arr: np.ndarray) -> np.ndarray:
+def normalize(arr: np.ndarray, mean: np.ndarray = IMAGENET_MEAN,
+              std: np.ndarray = IMAGENET_STD) -> np.ndarray:
     """uint8 HWC -> normalized float32 HWC."""
-    return (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    return (arr.astype(np.float32) / 255.0 - mean) / std
 
 
 class TrainTransform:
@@ -129,7 +124,9 @@ class TrainTransform:
                  auto_augment: Optional[str] = "rand-m9-mstd0.5-inc1",
                  color_jitter_amount: Optional[float] = 0.4,
                  scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 interpolation: str = "bicubic",
+                 imagenet_mean_and_std: bool = True):
         self.size = size
         self.hflip = hflip
         self.aa = rand_augment_from_config(auto_augment) \
@@ -138,6 +135,9 @@ class TrainTransform:
         self.cj = color_jitter_amount if (color_jitter_amount
                                           and not auto_augment) else None
         self.scale, self.ratio = scale, ratio
+        self.interpolation = interpolation
+        self.mean = IMAGENET_MEAN if imagenet_mean_and_std else INCEPTION_MEAN
+        self.std = IMAGENET_STD if imagenet_mean_and_std else INCEPTION_STD
         self.use_native = use_native
 
     def __call__(self, img: Image.Image) -> np.ndarray:
@@ -145,31 +145,37 @@ class TrainTransform:
             img = img.convert("RGB")
         flip = bool(self.hflip and random.random() < self.hflip)
 
-        if self.use_native and self.aa is None and self.cj is None:
+        if (self.use_native and self.aa is None and self.cj is None
+                and self.interpolation == "bicubic"):
             from slak_tpu.data import native
             box = sample_rrc_box(*img.size, self.scale, self.ratio)
             out = native.rrc_normalize(np.asarray(img), box, self.size, flip,
-                                       IMAGENET_MEAN, IMAGENET_STD)
+                                       self.mean, self.std)
             if out is not None:
                 return out
 
-        img = random_resized_crop(img, self.size, self.scale, self.ratio)
+        img = random_resized_crop(img, self.size, self.scale, self.ratio,
+                                  self.interpolation)
         if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
         if self.aa is not None:
             img = self.aa(img)
         if self.cj is not None:
             img = color_jitter(img, self.cj)
-        return normalize(np.asarray(img))
+        return normalize(np.asarray(img), self.mean, self.std)
 
 
 class EvalTransform:
-    def __init__(self, size: int = 224, crop_pct: float = DEFAULT_CROP_PCT):
+    def __init__(self, size: int = 224,
+                 crop_pct: Optional[float] = DEFAULT_CROP_PCT,
+                 imagenet_mean_and_std: bool = True):
         self.size = size
-        self.crop_pct = crop_pct
+        self.crop_pct = crop_pct if crop_pct is not None else DEFAULT_CROP_PCT
+        self.mean = IMAGENET_MEAN if imagenet_mean_and_std else INCEPTION_MEAN
+        self.std = IMAGENET_STD if imagenet_mean_and_std else INCEPTION_STD
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         if img.mode != "RGB":
             img = img.convert("RGB")
         img = center_crop_resize(img, self.size, self.crop_pct)
-        return normalize(np.asarray(img))
+        return normalize(np.asarray(img), self.mean, self.std)

@@ -34,8 +34,9 @@ from slak_tpu.sparsity import (MaskConfig, MaskState, apply_mask_to_tree,
 from slak_tpu.train import losses as L
 from slak_tpu.train import packing
 from slak_tpu.train.ema import ema_init, ema_update
-from slak_tpu.train.optim import (AdamWConfig, adam_momentum, adamw_init,
-                                  adamw_update, param_groups,
+from slak_tpu.train.optim import (AdamWConfig, AdanConfig, adam_momentum,
+                                  adamw_init, adamw_update, adan_init,
+                                  adan_update, param_groups,
                                   param_groups_from_plan)
 
 Array = jax.Array
@@ -98,6 +99,11 @@ class TrainConfig:
     ema_decay: Optional[float] = None      # 0.9999 when EMA on
     layer_decay: Optional[float] = None
     compute_dtype: Any = jnp.float32       # jnp.bfloat16 on TPU
+    # optimizer selection (reference main.py:78 ``--opt``; the fork's
+    # timm registers Adan at timm1/optim/optim_factory.py:290-292)
+    opt: str = "adamw"                     # "adamw" | "adan"
+    opt_eps: float = 1e-8
+    opt_betas: Optional[tuple] = None      # None -> optimizer default
     # DST schedule (sparse_core.py:49-64; T_max = total optimizer steps)
     prune_t_max: int = 0
     # Keep the ~1000 small (1-D) leaves packed in one flat fp32 vector
@@ -126,7 +132,8 @@ def create_train_state(
         params = packing.pack(params, plan)
         if train_cfg.ema_decay:
             ms_plan = packing.make_plan(model_state)
-    opt_state = adamw_init(params)
+    opt_state = (adan_init(params) if train_cfg.opt == "adan"
+                 else adamw_init(params))
     ema_p = ema_init(params) if train_cfg.ema_decay else None
     ema_s = None
     if train_cfg.ema_decay:
@@ -161,7 +168,21 @@ def make_train_step(
     model's BN can use the same axis for SyncBN-faithful batch statistics
     (reference ``models/SLaK.py:24-28``).
     """
-    acfg = adamw_cfg or AdamWConfig(clip_grad=train_cfg.clip_grad)
+    if adamw_cfg is not None:
+        acfg = adamw_cfg
+        opt_update = adamw_update
+    elif train_cfg.opt == "adan":
+        acfg = AdanConfig(
+            betas=(tuple(train_cfg.opt_betas) if train_cfg.opt_betas
+                   else AdanConfig.betas),
+            eps=train_cfg.opt_eps, clip_grad=train_cfg.clip_grad)
+        opt_update = adan_update
+    else:
+        acfg = AdamWConfig(
+            betas=(tuple(train_cfg.opt_betas) if train_cfg.opt_betas
+                   else AdamWConfig.betas),
+            eps=train_cfg.opt_eps, clip_grad=train_cfg.clip_grad)
+        opt_update = adamw_update
 
     def loss_fn(params, model_state, images, targets, rng, plan=None):
         if plan is not None:
@@ -227,7 +248,7 @@ def make_train_step(
             loss = jax.lax.pmean(loss, pmean_axis)
 
         # --- optimizer step -------------------------------------------------
-        params, opt_state, gnorm = adamw_update(
+        params, opt_state, gnorm = opt_update(
             grads, state.opt_state, state.params, lr, wd, wd_mask, lr_scale,
             acfg)
 

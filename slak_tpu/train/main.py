@@ -86,8 +86,13 @@ def get_args_parser():
     p.add_argument("--model_ema_eval", type=str2bool, default=False)
 
     # optimizer
+    p.add_argument("--opt", default="adamw", type=str,
+                   choices=["adamw", "adan"],
+                   help="optimizer (reference main.py:78; 'adan' is the "
+                        "fork-registered Adaptive Nesterov optimizer)")
     p.add_argument("--opt_eps", default=1e-8, type=float)
-    p.add_argument("--opt_betas", default=[0.9, 0.999], type=float, nargs="+")
+    p.add_argument("--opt_betas", default=None, type=float, nargs="+",
+                   help="override optimizer betas (2 for adamw, 3 for adan)")
     p.add_argument("--clip_grad", type=float, default=None)
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--weight_decay_end", type=float, default=None)
@@ -101,10 +106,17 @@ def get_args_parser():
     p.add_argument("--color_jitter", type=float, default=0.4)
     p.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1")
     p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--train_interpolation", type=str, default="bicubic",
+                   choices=["bicubic", "bilinear", "random"])
     p.add_argument("--reprob", type=float, default=0.25)
+    p.add_argument("--remode", type=str, default="pixel",
+                   choices=["pixel", "rand", "const"])
     p.add_argument("--recount", type=int, default=1)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--cutmix_minmax", type=float, nargs="+", default=None,
+                   help="cutmix min/max box-side fractions; overrides the "
+                        "lam-derived box when set")
     p.add_argument("--mixup_prob", type=float, default=1.0)
     p.add_argument("--mixup_switch_prob", type=float, default=0.5)
     p.add_argument("--mixup_mode", type=str, default="batch",
@@ -114,6 +126,9 @@ def get_args_parser():
     # dataset
     p.add_argument("--data_path", default=None, type=str)
     p.add_argument("--eval_data_path", default=None, type=str)
+    p.add_argument("--imagenet_default_mean_and_std", type=str2bool,
+                   default=True,
+                   help="False -> inception (0.5, 0.5, 0.5) normalization")
     p.add_argument("--nb_classes", default=1000, type=int)
     p.add_argument("--data_set", default="IMNET", type=str,
                    choices=["CIFAR", "IMNET", "image_folder", "synthetic"])
@@ -130,12 +145,28 @@ def get_args_parser():
     p.add_argument("--save_ckpt_freq", default=1, type=int)
     p.add_argument("--save_ckpt_num", default=3, type=int)
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--start_epoch", default=None, type=int,
+                   help="override the resume-derived starting epoch")
     p.add_argument("--eval", type=str2bool, default=False)
+    p.add_argument("--disable_eval", type=str2bool, default=False,
+                   help="skip the per-epoch validation pass")
+    p.add_argument("--verbose", action="store_true",
+                   help="per-layer sparsity densities each epoch")
     p.add_argument("--tp_eval", type=str2bool, default=False,
                    help="channel/tensor-parallel eval over all devices "
                         "(parallel/tp.py); non-divisible widths (e.g. the "
                         "flagship 124/249/499/998) are zero-padded exactly")
     p.add_argument("--finetune", default="", help="torch ckpt to convert")
+    p.add_argument("--model_key", default="model|module", type=str,
+                   help="'|'-separated state-dict keys tried when "
+                        "unwrapping --finetune checkpoints")
+    p.add_argument("--model_prefix", default="", type=str,
+                   help="prefix stripped from --finetune state-dict keys")
+    p.add_argument("--enable_wandb", type=str2bool, default=False)
+    p.add_argument("--project", default="SLaK", type=str,
+                   help="wandb project name")
+    p.add_argument("--wandb_ckpt", type=str2bool, default=False,
+                   help="upload checkpoints as wandb artifacts at the end")
     p.add_argument("--n_devices", default=None, type=int)
     p.add_argument("--multi_host", type=str2bool, default=False)
     p.add_argument("--print_freq", default=200, type=int)
@@ -214,8 +245,13 @@ def main(args):
 
     # data ---------------------------------------------------------------
     train_tf = TrainTransform(size=args.input_size, auto_augment=args.aa,
-                              color_jitter_amount=args.color_jitter)
-    eval_tf = EvalTransform(size=args.input_size, crop_pct=args.crop_pct)
+                              color_jitter_amount=args.color_jitter,
+                              interpolation=args.train_interpolation,
+                              imagenet_mean_and_std=
+                              args.imagenet_default_mean_and_std)
+    eval_tf = EvalTransform(size=args.input_size, crop_pct=args.crop_pct,
+                            imagenet_mean_and_std=
+                            args.imagenet_default_mean_and_std)
     ds_train, nb_classes = build_dataset(
         True, args.data_set, args.data_path, train_tf, args.eval_data_path,
         args.nb_classes, synthetic_len=args.synthetic_len,
@@ -255,6 +291,8 @@ def main(args):
     train_cfg = TrainConfig(
         weight_decay=args.weight_decay, smoothing=args.smoothing,
         update_freq=args.update_freq, clip_grad=args.clip_grad,
+        opt=args.opt, opt_eps=args.opt_eps,
+        opt_betas=tuple(args.opt_betas) if args.opt_betas else None,
         ema_decay=args.model_ema_decay if args.model_ema else None,
         layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
         compute_dtype=jnp.bfloat16 if args.use_bf16 else jnp.float32,
@@ -276,7 +314,9 @@ def main(args):
     state = create_train_state(rng, model, train_cfg, mask_cfg, snip_loss_fn)
 
     if args.finetune:
-        params, model_state = load_torch_checkpoint(args.finetune)
+        params, model_state = load_torch_checkpoint(
+            args.finetune, model_key=args.model_key,
+            model_prefix=args.model_prefix)
         params = jax.tree_util.tree_map(jnp.asarray, params)
         model_state = jax.tree_util.tree_map(jnp.asarray, model_state)
         if state.plan is not None:
@@ -296,6 +336,8 @@ def main(args):
             print(f"auto-resumed from epoch {start_epoch - 1}")
     elif args.resume:
         state = ckpt.restore_pytree(args.resume, state)
+    if args.start_epoch is not None:
+        start_epoch = args.start_epoch
 
     # schedules ---------------------------------------------------------------
     lr_sched = jnp.asarray(cosine_schedule_array(
@@ -314,10 +356,13 @@ def main(args):
 
     mixup_cfg = MixupConfig(
         mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+        cutmix_minmax=(tuple(args.cutmix_minmax)
+                       if args.cutmix_minmax else None),
         prob=args.mixup_prob, switch_prob=args.mixup_switch_prob,
         mode=args.mixup_mode,
         label_smoothing=args.smoothing, num_classes=nb_classes)
-    re_cfg = RandomErasingConfig(prob=args.reprob, count=args.recount)
+    re_cfg = RandomErasingConfig(prob=args.reprob, count=args.recount,
+                                 mode=args.remode)
 
     @jax.jit
     def augment(k, x, y):
@@ -360,6 +405,11 @@ def main(args):
 
     # train loop ---------------------------------------------------------------
     log_writer = TensorboardLogger(args.log_dir) if args.log_dir else None
+    wandb_logger = None
+    if args.enable_wandb and jax.process_index() == 0:
+        from slak_tpu.utils.logging import WandbLogger
+        wandb_logger = WandbLogger(args, args.project)
+        wandb_logger.set_steps()
     epoch_log = EpochLogWriter(args.output_dir)
     max_acc = max_acc_ema = 0.0
     print(f"Start training for {args.epochs} epochs")
@@ -408,6 +458,9 @@ def main(args):
             rep = sparsity_report(state.mask_state)
             print(f"sparsity: density={rep['density']:.4f} "
                   f"fired={rep['fired_ratio']:.4f}")
+            if args.verbose:
+                for name, dens in rep["layers"].items():
+                    print(f"  {name}: density {dens:.4f}")
 
         save_dir = args.output_dir if (args.output_dir and args.save_ckpt
                                        and jax.process_index() == 0) else None
@@ -417,24 +470,24 @@ def main(args):
                                  save_ckpt_freq=args.save_ckpt_freq,
                                  save_ckpt_num=args.save_ckpt_num)
 
-        test_stats = evaluate(eval_step, state.tree_params(), state.model_state,
-                              dl_val, mesh)
-        print(f"Accuracy on {len(ds_val)} val images: "
-              f"{test_stats['acc1']*100:.2f}%")
-        if test_stats["acc1"] > max_acc:
-            max_acc = test_stats["acc1"]
-            if save_dir:
-                ckpt.save_checkpoint(save_dir, state, epoch, tag="best")
-        print(f"Max accuracy: {max_acc*100:.2f}%")
-
         stats = {"epoch": epoch,
                  "train_loss": logger.meters["loss"].global_avg,
-                 "test_acc1": test_stats["acc1"],
-                 "test_acc5": test_stats["acc5"],
-                 "test_loss": test_stats["loss"],
                  "images_per_sec": ips}
+        if not args.disable_eval:
+            test_stats = evaluate(eval_step, state.tree_params(),
+                                  state.model_state, dl_val, mesh)
+            print(f"Accuracy on {len(ds_val)} val images: "
+                  f"{test_stats['acc1']*100:.2f}%")
+            if test_stats["acc1"] > max_acc:
+                max_acc = test_stats["acc1"]
+                if save_dir:
+                    ckpt.save_checkpoint(save_dir, state, epoch, tag="best")
+            print(f"Max accuracy: {max_acc*100:.2f}%")
+            stats.update(test_acc1=test_stats["acc1"],
+                         test_acc5=test_stats["acc5"],
+                         test_loss=test_stats["loss"])
 
-        if args.model_ema and args.model_ema_eval:
+        if args.model_ema and args.model_ema_eval and not args.disable_eval:
             ema_stats = evaluate(eval_step, *state.tree_ema(), dl_val, mesh)
             print(f"EMA accuracy: {ema_stats['acc1']*100:.2f}%")
             if ema_stats["acc1"] > max_acc_ema:
@@ -446,7 +499,12 @@ def main(args):
 
         if jax.process_index() == 0:
             epoch_log.write(stats)
+            if wandb_logger is not None:
+                wandb_logger.log_epoch_metrics(stats)
 
+    if (wandb_logger is not None and args.wandb_ckpt and args.save_ckpt
+            and args.output_dir):
+        wandb_logger.log_checkpoints(args.output_dir)
     total = time.time() - t_start
     print(f"Training time {datetime.timedelta(seconds=int(total))}")
     return {"max_accuracy": max_acc}

@@ -242,10 +242,15 @@ def adamw_update(
 
 def adam_momentum(opt_state: Dict[str, Any]) -> Any:
     """The 'momentum' the sparsity engine scores growth with
-    (sparse_core.py:362-370): exp_avg / (sqrt(exp_avg_sq) + 1e-8)."""
+    (sparse_core.py:362-370): exp_avg / (sqrt(exp_avg_sq) + 1e-8).
+    Works for both optimizer states (AdamW mu/nu, Adan m/n)."""
+    if "mu" in opt_state:
+        return jax.tree_util.tree_map(
+            lambda m, v: m / (jnp.sqrt(v) + 1e-8),
+            opt_state["mu"], opt_state["nu"])
     return jax.tree_util.tree_map(
-        lambda m, v: m / (jnp.sqrt(v) + 1e-8),
-        opt_state["mu"], opt_state["nu"])
+        lambda m, n: m / (jnp.sqrt(n) + 1e-8),
+        opt_state["m"], opt_state["n"])
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +265,7 @@ class AdanConfig:
     betas: Tuple[float, float, float] = (0.98, 0.92, 0.99)
     eps: float = 1e-8
     no_prox: bool = False
+    clip_grad: Optional[float] = None  # global grad-norm clip, as AdamW
 
 
 def adan_init(params: Any) -> Dict[str, Any]:
@@ -278,6 +284,10 @@ def adan_update(grads, opt_state, params, lr, weight_decay, wd_mask,
     """One Adan step (timm1/optim/adan.py:75-124). On the first step
     pre_grad is seeded with the incoming grad (grad_diff = 0)."""
     b1, b2, b3 = cfg.betas
+    gnorm = global_grad_norm(grads)
+    if cfg.clip_grad is not None:
+        clip = jnp.minimum(1.0, cfg.clip_grad / (gnorm + 1e-6))
+        grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
     count = opt_state["count"] + 1
     cf = count.astype(jnp.float32)
     bc1 = 1.0 - b1 ** cf
@@ -312,4 +322,4 @@ def adan_update(grads, opt_state, params, lr, weight_decay, wd_mask,
                                                  [o[i] for o in outs])
     new_state = {"m": unf(1), "v": unf(2), "n": unf(3), "pre_grad": unf(4),
                  "count": count}
-    return unf(0), new_state, global_grad_norm(grads)
+    return unf(0), new_state, gnorm

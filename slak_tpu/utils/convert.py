@@ -191,17 +191,23 @@ def convert_state_dict(sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
     return params, state
 
 
-def load_torch_checkpoint(path: str, prefer_ema: bool = False
-                          ) -> Tuple[Dict, Dict]:
+def load_torch_checkpoint(path: str, prefer_ema: bool = False,
+                          model_key: str = "model|module",
+                          model_prefix: str = "") -> Tuple[Dict, Dict]:
     """Load a reference ``checkpoint-*.pth`` and convert it. Mirrors the
-    reference's model-key unwrapping (``main.py:407-409``,
-    ``utils.py:508-544``)."""
+    reference's model-key unwrapping (``main.py:407-409``, '|'-separated
+    ``--model_key`` candidates tried in order + ``--model_prefix``
+    stripping, ``utils.py:508-544``)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
-        for key in (("model_ema", "model", "state_dict") if prefer_ema
-                    else ("model", "state_dict", "model_ema")):
+        keys = (["model_ema"] if prefer_ema else []) \
+            + model_key.split("|") + ["state_dict", "model_ema"]
+        for key in keys:
             if key in ckpt:
                 ckpt = ckpt[key]
                 break
+    if model_prefix:
+        ckpt = {k[len(model_prefix):] if k.startswith(model_prefix) else k: v
+                for k, v in ckpt.items()}
     return convert_state_dict(ckpt)

@@ -40,6 +40,35 @@ def test_train_cli_sparse_roundtrip(tmp_path):
     assert 0.0 <= stats["acc1"] <= 1.0
 
 
+def test_train_cli_flag_surface(tmp_path):
+    """Reference flag-parity additions in one run: inception mean/std,
+    const-mode erasing, cutmix_minmax boxes, random train interpolation,
+    --disable_eval (no per-epoch val pass), --start_epoch override,
+    --verbose sparsity report."""
+    from slak_tpu.train.main import get_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    res = main(p.parse_args(BASE + [
+        "--imagenet_default_mean_and_std", "false",
+        "--remode", "const", "--cutmix_minmax", "0.2", "0.8",
+        "--train_interpolation", "random",
+        "--disable_eval", "true", "--start_epoch", "0", "--verbose",
+        "--sparse", "--sparse_init", "uniform", "-u", "2",
+        "--output_dir", str(tmp_path / "run")]))
+    assert "max_accuracy" in res
+
+
+def test_train_cli_adan(tmp_path):
+    """--opt adan end-to-end through the CLI (parser -> TrainConfig ->
+    adan_init/adan_update in the jitted step), with checkpoint save."""
+    from slak_tpu.train.main import get_args_parser, main
+    p = argparse.ArgumentParser(parents=[get_args_parser()])
+    out = str(tmp_path / "run")
+    main(p.parse_args(BASE + ["--opt", "adan", "--opt_betas",
+                              "0.98", "0.92", "0.99",
+                              "--clip_grad", "5.0", "--output_dir", out]))
+    assert os.path.exists(os.path.join(out, "checkpoint-0"))
+
+
 def test_kd_cli_smoke(tmp_path):
     from slak_tpu.kd.main import get_kd_args_parser, main
     p = argparse.ArgumentParser(parents=[get_kd_args_parser()])

@@ -107,6 +107,88 @@ def test_random_erasing_stats():
     assert float(jnp.abs(out0).sum()) == 0.0
 
 
+def test_random_erasing_modes():
+    """--remode variants: 'const' fills zeros (invisible on a zero image
+    but visible on ones), 'rand' fills one normal draw per channel."""
+    cfg_c = RandomErasingConfig(prob=1.0, mode="const")
+    x = jnp.ones((8, 32, 32, 3))
+    out = random_erasing(jax.random.PRNGKey(0), x, cfg_c)
+    erased = np.asarray(out == 0)
+    assert erased.any()
+    # const: erased pixels are exactly 0 across all channels
+    assert np.logical_or(np.asarray(out) == 0, np.asarray(out) == 1).all()
+
+    cfg_r = RandomErasingConfig(prob=1.0, mode="rand")
+    out_r = np.asarray(random_erasing(jax.random.PRNGKey(0), x, cfg_r))
+    for i in range(out_r.shape[0]):
+        box = (out_r[i] != 1).any(-1)
+        if box.any():
+            vals = out_r[i][box]          # (n_px, 3)
+            # per-channel constant inside the region
+            assert np.allclose(vals, vals[0], atol=1e-6)
+
+    with pytest.raises(ValueError):
+        random_erasing(jax.random.PRNGKey(0), x,
+                       RandomErasingConfig(prob=1.0, mode="bogus"))
+
+
+def test_cutmix_minmax_box_fractions():
+    """--cutmix_minmax (0.2, 0.8): box sides are per-axis fractions in the
+    range, box fully inside, lam = 1 - exact box area."""
+    cfg = MixupConfig(mixup_alpha=0.0, cutmix_alpha=0.0,
+                      cutmix_minmax=(0.2, 0.8), prob=1.0, switch_prob=1.0,
+                      label_smoothing=0.0, num_classes=4)
+    assert cfg.enabled and cfg.cutmix_enabled
+    h = w = 40
+    x = jnp.stack([jnp.zeros((h, w, 3)), jnp.ones((h, w, 3))])
+    y = jnp.asarray([0, 1])
+    for s in range(8):
+        mixed, tgt = mixup_cutmix(jax.random.PRNGKey(s), x, y, cfg)
+        m0 = np.asarray(mixed[0, :, :, 0])
+        box = m0 == 1.0                       # pasted from the ones image
+        rows = box.any(1).sum()
+        cols = box.any(0).sum()
+        assert int(h * 0.2) <= rows < max(int(h * 0.8), int(h * 0.2) + 1)
+        assert int(w * 0.2) <= cols < max(int(w * 0.8), int(w * 0.2) + 1)
+        lam = 1.0 - rows * cols / (h * w)
+        np.testing.assert_allclose(float(tgt[0, 0]), lam, atol=1e-6)
+
+
+def test_transform_inception_mean_std(rng):
+    """--imagenet_default_mean_and_std false -> (0.5, 0.5, 0.5) stats in
+    both transforms (timm inception normalization)."""
+    img = _img(rng)
+    e_in = EvalTransform(size=32)(img)
+    e_05 = EvalTransform(size=32, imagenet_mean_and_std=False)(img)
+    # invert both normalizations: must recover identical pixels
+    a = e_in * IMAGENET_STD + IMAGENET_MEAN
+    b = e_05 * 0.5 + 0.5
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    t = TrainTransform(size=32, imagenet_mean_and_std=False,
+                       auto_augment=None, color_jitter_amount=None)
+    out = t(img)
+    assert np.abs(out).max() <= 1.0 + 1e-6   # (x/255 - .5)/.5 in [-1, 1]
+
+
+def test_train_interpolation_modes(rng):
+    """--train_interpolation random/bilinear run (and differ from bicubic
+    for a detailed image at fixed RNG)."""
+    import random as pyrandom
+    img = _img(rng, 64, 64)
+    outs = {}
+    for interp in ("bicubic", "bilinear"):
+        pyrandom.seed(7)
+        outs[interp] = TrainTransform(
+            size=32, auto_augment=None, color_jitter_amount=None,
+            use_native=False, interpolation=interp)(img)
+    assert not np.allclose(outs["bicubic"], outs["bilinear"])
+    pyrandom.seed(7)
+    out_r = TrainTransform(size=32, auto_augment=None,
+                           color_jitter_amount=None, use_native=False,
+                           interpolation="random")(img)
+    assert out_r.shape == (32, 32, 3)
+
+
 def _folder(tmp_path, rng, classes=3, per=4):
     for c in range(classes):
         d = tmp_path / f"class_{c}"

@@ -50,6 +50,116 @@ def test_adamw_matches_torch(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+def _numpy_adan(params, grads_seq, lr, wd, betas=(0.98, 0.92, 0.99),
+                eps=1e-8):
+    """Independent numpy statement of the Adan algorithm (arXiv 2208.06677
+    Alg. 1 with bias correction + proximal decoupled weight decay — the
+    semantics the fork's timm1/optim/adan.py implements)."""
+    b1, b2, b3 = betas
+    p = {k: v.copy() for k, v in params.items()}
+    m = {k: np.zeros_like(v) for k, v in params.items()}
+    v = {k: np.zeros_like(vv) for k, vv in params.items()}
+    n = {k: np.zeros_like(vv) for k, vv in params.items()}
+    prev = None
+    for t, grads in enumerate(grads_seq, start=1):
+        bc1, bc2, bc3 = 1 - b1 ** t, 1 - b2 ** t, 1 - b3 ** t
+        for k, g in grads.items():
+            gd = g - (prev[k] if prev is not None else g)
+            m[k] = b1 * m[k] + (1 - b1) * g
+            v[k] = b2 * v[k] + (1 - b2) * gd
+            u = g + b2 * gd
+            n[k] = b3 * n[k] + (1 - b3) * u * u
+            eta = 1.0 / (np.sqrt(n[k] / bc3) + eps)
+            step = eta * (m[k] / bc1 + b2 * v[k] / bc2)
+            wd_k = wd if k == "w" else 0.0
+            p[k] = (p[k] - lr * step) / (1.0 + lr * wd_k)
+        prev = grads
+    return p
+
+
+def test_adan_matches_paper_reference(rng):
+    """Few steps of our Adan == an independent numpy statement of the
+    published algorithm (grad-difference momentum, three-EMA update,
+    proximal weight decay) given identical grads."""
+    from slak_tpu.train.optim import adan_init, adan_update
+    w0 = rng.standard_normal((8, 16)).astype(np.float32)
+    b0 = rng.standard_normal((16,)).astype(np.float32)
+    lr, wd = 1e-2, 0.05
+    grads_seq = [{"w": rng.standard_normal((8, 16)).astype(np.float32),
+                  "b": rng.standard_normal((16,)).astype(np.float32)}
+                 for _ in range(5)]
+
+    want = _numpy_adan({"w": w0, "b": b0}, grads_seq, lr, wd)
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    st = adan_init(params)
+    for grads in grads_seq:
+        params, st, gnorm = adan_update(
+            {k: jnp.asarray(g) for k, g in grads.items()}, st, params,
+            jnp.float32(lr), jnp.float32(wd), {"w": 1.0, "b": 0.0},
+            {"w": 1.0, "b": 1.0})
+        assert np.isfinite(float(gnorm))
+
+    np.testing.assert_allclose(np.asarray(params["w"]), want["w"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["b"]), want["b"],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_adan_clip_grad():
+    """clip_grad scales the whole grad tree to the given global norm
+    before the update (same contract as AdamW), and the reported gnorm
+    is the pre-clip norm."""
+    from slak_tpu.train.optim import AdanConfig, adan_init, adan_update
+    p = {"w": jnp.ones((4,), jnp.float32)}
+    g = {"w": jnp.full((4,), 10.0, jnp.float32)}   # norm 20
+    st = adan_init(p)
+    _, _, gn = adan_update(g, st, p, jnp.float32(1e-2), jnp.float32(0.0),
+                           {"w": 1.0}, {"w": 1.0},
+                           AdanConfig(clip_grad=1.0))
+    assert float(gn) == pytest.approx(20.0, rel=1e-5)
+    # clipped update must equal the unclipped update with g/20 (first
+    # step is scale-invariant in g only through pre_grad seeding; compare
+    # against explicitly scaled grads)
+    p1, _, _ = adan_update(g, adan_init(p), p, jnp.float32(1e-2),
+                           jnp.float32(0.0), {"w": 1.0}, {"w": 1.0},
+                           AdanConfig(clip_grad=1.0))
+    g_scaled = {"w": g["w"] / 20.0}
+    p2, _, _ = adan_update(g_scaled, adan_init(p), p, jnp.float32(1e-2),
+                           jnp.float32(0.0), {"w": 1.0}, {"w": 1.0},
+                           AdanConfig())
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(p2["w"]),
+                               rtol=1e-6)
+
+
+def test_train_step_with_adan(rng):
+    """End-to-end engine wiring: TrainConfig(opt='adan') trains the debug
+    model (loss finite and decreasing) and adam_momentum serves the
+    sparsity engine from the Adan state (growth='momentum' path)."""
+    from slak_tpu.models import create_model
+    from slak_tpu.sparsity import MaskConfig
+    model = create_model("SLaK_debug", kernel_size=(13, 11, 9, 7, 5),
+                         decom=True, branch_bn=True, num_classes=10,
+                         drop_path_rate=0.0, conv_impl="xla")
+    cfg = TrainConfig(opt="adan", clip_grad=5.0, smoothing=0.1,
+                      prune_t_max=10)
+    mask_cfg = MaskConfig(sparsity=0.3, sparse_init="uniform",
+                          growth_mode="momentum", update_frequency=2)
+    state = create_train_state(jax.random.PRNGKey(0), model, cfg, mask_cfg)
+    assert "pre_grad" in state.opt_state           # adan state, not adamw
+    step = jax.jit(make_train_step(
+        model, cfg, mask_cfg,
+        jnp.full((10,), 1e-3, jnp.float32), None))
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray(rng.integers(0, 10, (8,)), jnp.int32)
+    losses_seen = []
+    for i in range(4):
+        state, metrics = step(state, (x, y), jax.random.PRNGKey(i))
+        losses_seen.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses_seen)
+    assert losses_seen[-1] < losses_seen[0]
+
+
 def test_cosine_schedule_matches_reference():
     """Clone of utils.py:428-445 math."""
     sched = cosine_schedule_array(4e-3, 1e-6, epochs=10, niter_per_ep=100,
