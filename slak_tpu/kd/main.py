@@ -162,9 +162,11 @@ def main(args):
         args.nb_classes, synthetic_len=max(args.synthetic_len // 4, 8),
         synthetic_size=args.input_size)
     dl_train = BatchLoader(ds_train, args.batch_size * n_dev, shuffle=True,
-                           num_workers=args.num_workers, seed=args.seed)
+                           num_workers=args.num_workers, seed=args.seed,
+                           mode=args.loader_mode)
     dl_val = BatchLoader(ds_val, args.batch_size * n_dev, shuffle=False,
-                         drop_last=False, num_workers=args.num_workers)
+                         drop_last=False, num_workers=args.num_workers,
+                         mode=args.loader_mode)
     niter_per_ep = len(dl_train)
     total_steps = args.epochs * niter_per_ep
 

@@ -133,6 +133,11 @@ def get_args_parser():
     p.add_argument("--data_set", default="IMNET", type=str,
                    choices=["CIFAR", "IMNET", "image_folder", "synthetic"])
     p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--loader_mode", default="thread",
+                   choices=["thread", "process"],
+                   help="host input pipeline workers: GIL-releasing "
+                        "thread pool, or torch-DataLoader-style spawned "
+                        "processes + shared-memory batch slots")
     p.add_argument("--synthetic_len", default=1024, type=int,
                    help="synthetic dataset length (smoke/bench runs)")
 
@@ -265,9 +270,11 @@ def main(args):
     dl_train = BatchLoader(ds_train, args.batch_size * n_dev
                            * args.update_freq // world,
                            shuffle=True, num_workers=args.num_workers,
-                           seed=args.seed, rank=rank, world_size=world)
+                           seed=args.seed, rank=rank, world_size=world,
+                           mode=args.loader_mode)
     dl_val = BatchLoader(ds_val, args.batch_size * n_dev, shuffle=False,
-                         drop_last=False, num_workers=args.num_workers)
+                         drop_last=False, num_workers=args.num_workers,
+                         mode=args.loader_mode)
     niter_per_ep = len(dl_train)
     total_steps = args.epochs * niter_per_ep
     print(f"{len(ds_train)} train / {len(ds_val)} val images, "

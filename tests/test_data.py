@@ -322,3 +322,59 @@ def test_mixup_pair_odd_batch_middle_untouched():
     xm, tm = mixup_cutmix(jax.random.PRNGKey(1), x, jnp.arange(n), cfg)
     assert float(xm[2, 0, 0, 0]) == 2.0
     assert float(tm[2, 2]) == pytest.approx(1.0)
+
+
+class _FailAt13(SyntheticDataset):
+    """Picklable failing dataset for the process-loader error test."""
+
+    def __getitem__(self, idx):
+        if idx == 13:
+            raise ValueError("boom at 13")
+        return super().__getitem__(idx)
+
+
+def test_process_loader_matches_thread_mode():
+    """The spawned-worker loader (reference main.py:268-276 uses torch
+    DataLoader worker processes) yields the same ordered label stream and
+    shapes as the thread mode, including the partial last batch."""
+    tf = EvalTransform(size=24)
+    ds = SyntheticDataset(n=42, size=32, nb_classes=7, transform=tf)
+    lt = BatchLoader(ds, 8, num_workers=2, seed=3, drop_last=False,
+                     mode="thread")
+    lp = BatchLoader(ds, 8, num_workers=2, seed=3, drop_last=False,
+                     mode="process")
+    lt.set_epoch(1)
+    lp.set_epoch(1)
+    bt, bp = list(lt), list(lp)
+    assert len(bt) == len(bp) == 6
+    for (xt, yt), (xp, yp) in zip(bt, bp):
+        assert xp.shape == xt.shape and xp.dtype == np.float32
+        np.testing.assert_array_equal(yt, yp)
+        np.testing.assert_allclose(xt, xp, atol=1e-6)
+    assert bp[-1][0].shape[0] == 2  # 42 = 5*8 + 2
+
+    # epoch reseed reshuffles
+    lp.set_epoch(2)
+    y2 = np.concatenate([y for _, y in lp])
+    y1 = np.concatenate([y for _, y in bp])
+    assert (y1 != y2).any() and sorted(y1) == sorted(y2)
+
+
+def test_process_loader_propagates_worker_errors():
+    ds = _FailAt13(n=40, size=32, nb_classes=7, transform=EvalTransform(24))
+    dl = BatchLoader(ds, 8, shuffle=False, num_workers=2, mode="process")
+    with pytest.raises(RuntimeError, match="boom at 13"):
+        list(dl)
+
+
+def test_process_loader_train_transform_randomness():
+    """Augmentation streams differ across workers/batches (per-worker
+    seeding) while labels stay deterministic."""
+    tf = TrainTransform(size=24, auto_augment=None, color_jitter_amount=None)
+    ds = SyntheticDataset(n=32, size=32, nb_classes=7, transform=tf)
+    dl = BatchLoader(ds, 8, num_workers=2, seed=0, mode="process")
+    e1 = list(dl)
+    dl2 = BatchLoader(ds, 8, num_workers=2, seed=0, mode="process")
+    e2 = list(dl2)
+    for (x1, y1), (x2, y2) in zip(e1, e2):
+        np.testing.assert_array_equal(y1, y2)
