@@ -53,6 +53,21 @@ class SLaKConfig:
     head_init_scale: float = 1.0
     conv_impl: str = "auto"          # 'auto' | 'xla' | 'grouped' | 'banded'
     mlp_impl: str = "auto"           # 'auto' (fused Pallas when it fits) | 'xla'
+    # Eval activation layout for qualifying stages (_stage_resident_ok):
+    #   'auto'/'cmajor' — single-resident (C,H,W,N) with per-block pads
+    #     and an orientation transpose (RESIDENT_PAIR_IMPL picks the pair
+    #     mode); the measured winner (see below);
+    #   'dual' — DUAL-resident: both C-major orientations (C,H,W,N) +
+    #     (C,W,H,N) stay live across the stage; the pair conv runs
+    #     dual-in/dual-out and the MLP kernel reads/writes both
+    #     orientations via grid indexing — ZERO XLA layout ops per block.
+    #     Measured SLOWER (tools/probe_eval_ab.py, v5e bs256 bf16 chain/3,
+    #     2026-08-19): dual 161.6 ms/pass vs cmajor-split 133.7 vs NHWC
+    #     140.1 — the dual orientation writes (conv pair + MLP each emit
+    #     both orientations) and the (C, W, nb) MLP tiling cost more than
+    #     the per-block transposes they remove; kept as a tested variant;
+    #   'nhwc' — the per-block NHWC round trips (A/B + fallback).
+    eval_layout: str = "auto"
     # Run the Pallas kernels in interpret mode (CPU testing / multi-chip
     # dryruns of the real kernel routing; lifts the batch%128 constraint).
     pallas_interpret: bool = False
@@ -267,6 +282,148 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
     return out, None, new_s
 
 
+# ---------------------------------------------------------------------------
+# C-major resident eval stage (round 4)
+#
+# The round-4 eval trace attributed ~38 of 132 ms/pass to layout glue:
+# the banded conv kernels want C-major (C, H, W, N), the tokens-major
+# fused MLP wants (N*H*W, C), so every block paid 2-3 full-activation
+# transposes plus 2 XLA halo pads. Qualifying stages now transpose ONCE
+# at stage entry, run conv + MLP entirely in C-major (the fused pair
+# kernel builds halos in VMEM; fused_mlp_cmajor works on (C, M) tiles),
+# and transpose back at stage exit. Both conv sub-modes are exact
+# (tested bit-level in interpret mode vs the NHWC path's kernels).
+# ---------------------------------------------------------------------------
+
+# 'split': two dwconv_banded_cmajor calls + halo pads + an add-transpose
+#   (the NHWC path's kernels minus its NHWC round trips); fused
+#   single-call modes 'input'/'kernel'/'dualout'/'dualboth' place the
+#   LoRA2 orientation shuffle differently (see pallas_banded).
+# Measured full-model eval, v5e bs256 bf16 chain/3 (tools/probe_eval_ab.py,
+# 2026-08-19, raised scoped-vmem cap): split 134.5 ms/pass | dualout
+# 134.3 | input 137.1 | kernel (in-kernel swap) 139.4 | per-block NHWC
+# 139.8. split/dualout tie; split keeps the long-tested two-call kernels.
+RESIDENT_PAIR_IMPL = "split"
+
+
+def _fold_eval_pair(p, s):
+    """Eval-folded decomposed pair: returns (w1e, w2e, bias_total) with
+    branch BNs folded into tap scales, the small branch center-padded into
+    LoRA1's (K, s) taps (exact for stride-1 same-padded odd kernels — the
+    reference's own merge identity, models/SLaK.py:102-122), and the
+    deferred per-channel bias. Mirrors large_kernel_conv's fold order so
+    the resident path is bit-comparable to the NHWC eval path."""
+    m1, a1 = fold_bn(p["LoRA1"]["bn"]["scale"], p["LoRA1"]["bn"]["bias"],
+                     s["LoRA1"]["bn"]["mean"], s["LoRA1"]["bn"]["var"])
+    m2, a2 = fold_bn(p["LoRA2"]["bn"]["scale"], p["LoRA2"]["bn"]["bias"],
+                     s["LoRA2"]["bn"]["mean"], s["LoRA2"]["bn"]["var"])
+    w1e = p["LoRA1"]["w"] * m1.astype(p["LoRA1"]["w"].dtype)
+    w2e = p["LoRA2"]["w"] * m2.astype(p["LoRA2"]["w"].dtype)
+    bias_total = None
+    if "small" in p:
+        ms, as_ = fold_bn(p["small"]["bn"]["scale"], p["small"]["bn"]["bias"],
+                          s["small"]["bn"]["mean"], s["small"]["bn"]["var"])
+        ws = p["small"]["w"] * ms.astype(p["small"]["w"].dtype)
+        kh, kw, _ = w1e.shape
+        sh, sw, _ = ws.shape
+        ph, pw = (kh - sh) // 2, (kw - sw) // 2
+        w1e = w1e + jnp.pad(ws, ((ph, kh - sh - ph), (pw, kw - sw - pw),
+                                 (0, 0)))
+        bias_total = as_
+    bias_total = a1 if bias_total is None else bias_total + a1
+    bias_total = bias_total + a2
+    return w1e, w2e, bias_total
+
+
+def _stage_resident_ok(cfg: SLaKConfig, blocks, n_batch: int, dtype) -> bool:
+    if cfg.eval_layout == "nhwc":
+        return False
+    if cfg.conv_impl not in ("auto", "banded") or cfg.mlp_impl == "xla":
+        return False
+    from slak_tpu.ops.depthwise import _on_tpu
+    from slak_tpu.ops.pallas_banded import batch_block
+    from slak_tpu.ops.pallas_mlp import fused_mlp_ok
+    interp = cfg.pallas_interpret
+    if not (interp or _on_tpu()):
+        return False
+    if not (interp or batch_block(n_batch, dtype) is not None
+            or n_batch >= 32):
+        return False
+    itemsize = jnp.dtype(dtype).itemsize
+    for bp in blocks:
+        lk = bp["lk"]
+        if "LoRA1" not in lk or "LoRA2" not in lk:
+            return False
+        if not all("bn" in lk[n] for n in lk):
+            return False
+        kh, kw, c = lk["LoRA1"]["w"].shape
+        if kh < 31 or kw >= kh or lk["LoRA2"]["w"].shape[:2] != (kw, kh):
+            return False
+        if "small" in lk and (lk["small"]["w"].shape[0] > kh
+                              or lk["small"]["w"].shape[1] > kw):
+            return False
+        if not fused_mlp_ok(c, bp["pwconv1"]["w"].shape[1], itemsize, True):
+            return False
+    return True
+
+
+def _block_forward_resident(xc, p, s, *, cfg: SLaKConfig):
+    """One eval block on a C-major (C, H, W, N) resident activation."""
+    from slak_tpu.ops.pallas_banded import (dwconv_banded_cmajor,
+                                            dwpair_fused_cmajor)
+    from slak_tpu.ops.pallas_mlp import fused_mlp_cmajor
+    interp = cfg.pallas_interpret
+    w1e, w2e, bias_total = _fold_eval_pair(p["lk"], s["lk"])
+    if RESIDENT_PAIR_IMPL != "split":
+        y = dwpair_fused_cmajor(xc, w1e, w2e, tmode=RESIDENT_PAIR_IMPL,
+                                interpret=interp)
+    else:
+        pw = w1e.shape[1] // 2
+        y1 = dwconv_banded_cmajor(
+            jnp.pad(xc, ((0, 0), (0, 0), (pw, pw), (0, 0))), w1e,
+            interpret=interp)
+        y2 = dwconv_banded_cmajor(
+            jnp.pad(jnp.transpose(xc, (0, 2, 1, 3)),
+                    ((0, 0), (0, 0), (pw, pw), (0, 0))),
+            jnp.transpose(w2e, (1, 0, 2)), interpret=interp)
+        y = y1 + jnp.transpose(y2, (0, 2, 1, 3))
+    c = p["pwconv1"]["w"].shape[0]
+    gamma = p["gamma"] if "gamma" in p else jnp.ones((c,), jnp.float32)
+    return fused_mlp_cmajor(
+        y, xc, p["norm"]["scale"], p["norm"]["bias"],
+        p["pwconv1"]["w"], p["pwconv1"]["b"],
+        p["pwconv2"]["w"], p["pwconv2"]["b"], gamma,
+        bias_total.astype(jnp.float32), True, interp)
+
+
+def _stage_forward_dual(x, blocks, states, cfg: SLaKConfig):
+    """Dual-resident eval stage: both C-major orientations live across the
+    stage; every block is exactly two pallas calls with zero XLA layout
+    ops between them (see the block comment above and pallas_mlp's
+    dual-kernel comment)."""
+    from slak_tpu.ops.pallas_banded import _pad_batch, dwpair_fused_cmajor
+    from slak_tpu.ops.pallas_mlp import fused_mlp_cmajor_dual
+    interp = cfg.pallas_interpret
+    xp, n0 = _pad_batch(x, interp)
+    xh = jnp.transpose(xp, (3, 1, 2, 0))             # (C, H, W, N)
+    xq = jnp.transpose(xp, (3, 2, 1, 0))             # (C, W, H, N)
+    for j, bp in enumerate(blocks):
+        w1e, w2e, bias_total = _fold_eval_pair(bp["lk"], states[j]["lk"])
+        y1, y2 = dwpair_fused_cmajor(xh, w1e, w2e, tmode="dualboth",
+                                     interpret=interp, xq=xq,
+                                     sum_out=False)
+        c = bp["pwconv1"]["w"].shape[0]
+        gamma = (bp["gamma"] if "gamma" in bp
+                 else jnp.ones((c,), jnp.float32))
+        xh, xq = fused_mlp_cmajor_dual(
+            y1, y2, xh, bp["norm"]["scale"], bp["norm"]["bias"],
+            bp["pwconv1"]["w"], bp["pwconv1"]["b"],
+            bp["pwconv2"]["w"], bp["pwconv2"]["b"], gamma,
+            bias_total.astype(jnp.float32), j < len(blocks) - 1, interp)
+    x = jnp.transpose(xh, (3, 1, 2, 0))
+    return x if x.shape[0] == n0 else x[:n0]
+
+
 def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     shortcut = x
     y, lk_bias, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train,
@@ -351,8 +508,29 @@ def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
     cur = 0
     for i in range(4):
         x = _downsample_forward(x, params["downsample"][i], i)
+        blocks = params["stages"][i]
+        if not train and _stage_resident_ok(cfg, blocks, x.shape[0],
+                                            x.dtype):
+            # C-major resident stage; eval leaves BN running stats
+            # untouched, so state passes through.
+            if cfg.eval_layout == "dual":
+                x = _stage_forward_dual(x, blocks, state["stages"][i], cfg)
+            else:                                   # 'auto'/'cmajor'
+                from slak_tpu.ops.pallas_banded import _pad_batch
+                xp, n0 = _pad_batch(x, cfg.pallas_interpret)
+                xc = jnp.transpose(xp, (3, 1, 2, 0))
+                for j, bp in enumerate(blocks):
+                    xc = _block_forward_resident(
+                        xc, bp, state["stages"][i][j], cfg=cfg)
+                x = jnp.transpose(xc, (3, 1, 2, 0))
+                if x.shape[0] != n0:
+                    x = x[:n0]
+            new_stages_state.append(list(state["stages"][i]))
+            stage_outputs.append(x)
+            cur += cfg.depths[i]
+            continue
         blocks_state = []
-        for j, bp in enumerate(params["stages"][i]):
+        for j, bp in enumerate(blocks):
             block_rng = None
             if rng is not None and train:
                 rng, block_rng = jax.random.split(rng)

@@ -553,7 +553,9 @@ def _pick_nb_cb_pair(H: int, W: int, s: int, N: int, itemsize: int,
 def dwpair_fused_cmajor(xc: Array, w1: Array, w2: Array,
                         nb: Optional[int] = None, cb: Optional[int] = None,
                         tmode: str = "kernel",
-                        interpret: bool = False) -> Array:
+                        interpret: bool = False,
+                        xq: Optional[Array] = None,
+                        sum_out: bool = True):
     """Fused decomposed pair on an UNPADDED C-major block.
 
     xc: (C, H, W, N); w1: (K, s, C) contracting along H (s taps along W);
@@ -567,6 +569,12 @@ def dwpair_fused_cmajor(xc: Array, w1: Array, w2: Array,
     'dualout' = x swapped in-kernel, branch-2 output written transposed
     and add-transposed by XLA; 'dualboth' = zero in-kernel shuffles
     (dual input stream AND dual output).
+
+    ``xq``: caller-provided (C, W, H, N) orientation of x for the dual-in
+    modes (the dual-resident eval stage keeps both orientations live, so
+    no transpose is needed here). ``sum_out=False`` with a dual-out mode
+    returns the raw pair ``(y1 (C,H,W,N), y2 (C,W,H,N))`` unsummed — the
+    dual-resident MLP kernel adds them tile-local via its grid indexing.
     """
     C, H, W, N = xc.shape
     K, s, _ = w1.shape
@@ -604,7 +612,8 @@ def dwpair_fused_cmajor(xc: Array, w1: Array, w2: Array,
     ]
     args = [A1, A2, xcp]
     if dual_in:
-        xt = jnp.transpose(xcp, (0, 2, 1, 3))        # (cp, W, H, N)
+        xt = (_pad_channels(xq, cp) if xq is not None
+              else jnp.transpose(xcp, (0, 2, 1, 3)))  # (cp, W, H, N)
         in_specs.append(
             pl.BlockSpec((cb, W, H, nb), lambda c, b: (c, 0, 0, b),
                          memory_space=pltpu.VMEM))
@@ -627,9 +636,19 @@ def dwpair_fused_cmajor(xc: Array, w1: Array, w2: Array,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
+        # Mosaic's default 16M scoped-vmem stack cap rejects these kernels
+        # at stage-1/2 shapes (17.2-18.1M measured: the halo scratches +
+        # swap temporaries on top of the blocks); the physical VMEM is
+        # 128M, so raise the cap rather than shrink cb below the MXU
+        # sweet spot.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     if dual_out:
+        if not sum_out:
+            y1, y2 = out
+            return ((y1, y2) if cp == C else (y1[:C], y2[:C]))
         # XLA's add-transpose fusion aligns the branch-2 output — the
         # same pass the split path pays, minus its pads + extra x stream.
         out = out[0] + jnp.swapaxes(out[1], 1, 2)

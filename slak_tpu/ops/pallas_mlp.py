@@ -441,6 +441,299 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
             dv2[2], dv2[3])
 
 
+# ---------------------------------------------------------------------------
+# C-major variant: (C, M) tiles for the layout-resident eval path
+#
+# The round-4 eval trace (tools/parse_xplane.py on /tmp/prof_r4_eval)
+# attributed ~38 of 132 ms/pass to LAYOUT GLUE: the banded conv wants
+# C-major (C, H, W, N) — channels on the grid, (W, N) merged onto lanes —
+# while the tokens-major MLP kernel above wants (N*H*W, C) — channels on
+# lanes. Every block therefore paid ~2-3 full-activation transposes. This
+# kernel runs the SAME fused tail directly on (C, M) tiles (M = H*W*N
+# flattened from the conv's C-major output — a free reshape), so an eval
+# stage can stay C-major end-to-end: LN reduces over the sublane axis,
+# the two matmuls run with pre-transposed weights ((4C, C) @ (C, mt) and
+# (C, 4C) @ (4C, mt) — same MXU work, mirrored), per-channel params
+# broadcast along lanes from (C, 1) columns.
+# ---------------------------------------------------------------------------
+
+
+def _mlp_cmajor_kernel(y_ref, res_ref, p_ref, w1t_ref, w2t_ref, o_ref, *,
+                       C: int, add_residual: bool):
+    y = y_ref[...]                                      # (C, mt)
+    yf = y.astype(jnp.float32) + p_ref[:C, 4:5]         # + pre_bias
+    mu = jnp.mean(yf, axis=0, keepdims=True)            # (1, mt)
+    var = jnp.mean(jnp.square(yf - mu), axis=0, keepdims=True)
+    h = (yf - mu) * lax.rsqrt(var + LN_EPS)
+    h = h * p_ref[:C, 0:1] + p_ref[:C, 1:2]
+    a = lax.dot_general(w1t_ref[...], h.astype(y.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C4, mt)
+    g = _gelu_exact(a + p_ref[:, 5:6])
+    o = lax.dot_general(w2t_ref[...], g.astype(y.dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C, mt)
+    o = (o + p_ref[:C, 2:3]) * p_ref[:C, 3:4]
+    if add_residual:
+        o = res_ref[...].astype(jnp.float32) + o
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _pick_mt(c: int, itemsize: int = 2) -> int:
+    # the (C4, mt) fp32 GELU input dominates the tile budget, same math
+    # as _pick_tt for the tokens-major twin
+    mt = 1024 if c <= 256 else 512
+    return mt // 2 if itemsize >= 4 else mt
+
+
+def _mlp_cmajor_2d(yc, resc, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                   pre_bias, add_residual, interpret):
+    """(C, M) C-major core. Returns (C, M)."""
+    C, M = yc.shape
+    C4 = w1.shape[1]
+    mt = _pick_mt(C, jnp.dtype(yc.dtype).itemsize)
+    Mp = -(-M // mt) * mt
+    if Mp != M:
+        # padded columns are pure zeros: var 0 -> rsqrt(eps), h = ln_bias;
+        # harmless garbage in sliced-away lanes, never NaN
+        yc = jnp.pad(yc, ((0, 0), (0, Mp - M)))
+        resc = jnp.pad(resc, ((0, 0), (0, Mp - M)))
+    pk = jnp.zeros((C4, 8), jnp.float32)
+    pk = pk.at[:C, 0].set(ln_scale).at[:C, 1].set(ln_bias)
+    pk = pk.at[:C, 2].set(b2).at[:C, 3].set(gamma)
+    pk = pk.at[:C, 4].set(pre_bias).at[:, 5].set(b1)
+    kern = functools.partial(_mlp_cmajor_kernel, C=C,
+                             add_residual=add_residual)
+    out = pl.pallas_call(
+        kern,
+        grid=(Mp // mt,),
+        in_specs=[
+            pl.BlockSpec((C, mt), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, mt), lambda m: (0, m), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, 8), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), lambda m: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), lambda m: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, mt), lambda m: (0, m),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Mp), yc.dtype),
+        interpret=interpret,
+    )(yc, resc, pk,
+      jnp.transpose(w1).astype(yc.dtype), jnp.transpose(w2).astype(yc.dtype))
+    return out[:, :M] if Mp != M else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_mlp_cmajor(yc: Array, resc: Array, ln_scale: Array, ln_bias: Array,
+                     w1: Array, b1: Array, w2: Array, b2: Array, gamma: Array,
+                     pre_bias: Array = None,
+                     add_residual: bool = True,
+                     interpret: bool = False) -> Array:
+    """C-major fused block tail: same math as :func:`fused_mlp` on
+    (C, H, W, N) (or already-flat (C, M)) activations — the layout the
+    banded conv kernels emit. yc is the conv output, resc the block
+    shortcut; see the C-major block comment above."""
+    shp = yc.shape
+    out = _mlp_cmajor_2d(yc.reshape(shp[0], -1), resc.reshape(shp[0], -1),
+                         ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                         pre_bias, add_residual, interpret)
+    return out.reshape(shp)
+
+
+def _cmajor_vjp_fwd(yc, resc, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                    pre_bias, add_residual, interpret):
+    out = fused_mlp_cmajor(yc, resc, ln_scale, ln_bias, w1, b1, w2, b2,
+                           gamma, pre_bias, add_residual, interpret)
+    res0 = jnp.zeros((), resc.dtype)
+    return out, (yc, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 pre_bias)
+
+
+def _cmajor_vjp_bwd(add_residual, interpret, resids, g):
+    """Delegates to the tokens-major backward kernels via two transposes —
+    only differentiated-eval forwards (e.g. ERF analysis) take this path;
+    training uses the tokens-major :func:`fused_mlp`."""
+    yc, res0, ln_scale, ln_bias, w1, b1, w2, b2, gamma, pre_bias = resids
+    shp = yc.shape
+    C = shp[0]
+    y2 = jnp.transpose(yc.reshape(C, -1))               # (M, C)
+    g2 = jnp.transpose(g.reshape(C, -1))
+    bwd = _mlp_bwd_2d if fused_mlp_bwd_ok(C) else _mlp_bwd_chunked_2d
+    dy, dw1, dw2, db1, db2, dgamma, dlns, dlnb = bwd(
+        y2, g2, ln_scale, ln_bias, w1, b1, w2, b2, gamma, pre_bias,
+        interpret)
+    dres = (g.astype(res0.dtype) if add_residual
+            else jnp.zeros(g.shape, res0.dtype))
+    dpre = jnp.sum(dy.astype(jnp.float32), axis=0).astype(pre_bias.dtype)
+    return (jnp.transpose(dy).reshape(shp).astype(yc.dtype), dres,
+            dlns.astype(ln_scale.dtype), dlnb.astype(ln_bias.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype),
+            dgamma.astype(gamma.dtype), dpre)
+
+
+fused_mlp_cmajor.defvjp(_cmajor_vjp_fwd, _cmajor_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Dual-orientation C-major variant: the zero-glue resident block tail
+#
+# The dual-resident eval stage keeps BOTH orientations of the activation
+# live — xh (C, H, W, N) for the LoRA1 conv and xq (C, W, H, N) for
+# LoRA2 — so the pair conv kernel runs with dual inputs AND dual outputs
+# (no halo pads, no transposes, no add pass; _pair_kernel_dualin_dualout).
+# This kernel closes the loop: per (h, batch-block) grid step it reads the
+# y1 tile (C, 1, W, nb), the matching y2 tile (C, W, 1, nb) — the
+# "transpose" is pure grid indexing, no data shuffle — sums the branches,
+# runs LN+MLP+gamma+residual on the (C, W, nb) tile (dots contract the
+# leading C axis; Mosaic merges (W, nb) onto lanes exactly as in the
+# banded conv kernels), and writes the block output in BOTH orientations,
+# again via grid indexing only. A resident block therefore has ZERO XLA
+# layout ops.
+#
+# MEASURED OUTCOME (tools/probe_eval_ab.py, v5e bs256 bf16 full-model
+# chain/3, 2026-08-19): dual 161.6 ms/pass vs cmajor-split 133.7 vs
+# per-block NHWC 140.1 — zero-glue LOSES. The doubled orientation writes
+# (the pair conv emits y1+y2 unsummed, this kernel emits oh+oq) plus the
+# (C, W, nb) tile shape cost more than the ~2 per-block XLA transposes
+# they remove. Kept as a tested variant (eval_layout='dual'); the
+# default resident path is the single-orientation split (slak.py).
+# ---------------------------------------------------------------------------
+
+
+def _mlp_cmajor_dual_kernel(y1_ref, y2_ref, res_ref, p_ref, w1t_ref,
+                            w2t_ref, *out_refs, C: int, emit_q: bool):
+    def pc(col):                                   # per-channel (C, 1, 1)
+        return p_ref[:C, col:col + 1][:, :, None]
+    # branch add in the compute dtype (bit-matches the split path's XLA
+    # bf16 add), then up to fp32 for the LN
+    y = (y1_ref[:, 0] + y2_ref[...]).astype(jnp.float32)      # (C, W, nb)
+    yf = y + pc(4)                                 # + pre_bias
+    mu = jnp.mean(yf, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=0, keepdims=True)
+    h = (yf - mu) * lax.rsqrt(var + LN_EPS)
+    h = h * pc(0) + pc(1)
+    cdt = y1_ref.dtype
+    a = lax.dot_general(w1t_ref[...], h.astype(cdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C4, W, nb)
+    g = _gelu_exact(a + p_ref[:, 5:6][:, :, None])
+    o = lax.dot_general(w2t_ref[...], g.astype(cdt),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)   # (C, W, nb)
+    o = (o + pc(2)) * pc(3)
+    o = res_ref[:, 0].astype(jnp.float32) + o
+    ob = o.astype(out_refs[0].dtype)
+    out_refs[0][:, 0] = ob
+    if emit_q:
+        out_refs[1][...] = ob
+
+
+def fused_mlp_cmajor_dual_raw(y1, y2, resh, ln_scale, ln_bias, w1, b1,
+                              w2, b2, gamma, pre_bias, emit_q, interpret):
+    """y1, resh: (C, H, W, N); y2: (C, W, H, N). Returns (oh, oq) —
+    oq is None when ``emit_q`` is False (last block of a stage)."""
+    C, H, W, N = y1.shape
+    C4 = w1.shape[1]
+    nb = min(128, N) if N % 128 == 0 else N
+    assert interpret or N % nb == 0
+    nB = N // nb
+    pk = jnp.zeros((C4, 8), jnp.float32)
+    pk = pk.at[:C, 0].set(ln_scale).at[:C, 1].set(ln_bias)
+    pk = pk.at[:C, 2].set(b2).at[:C, 3].set(gamma)
+    pk = pk.at[:C, 4].set(pre_bias).at[:, 5].set(b1)
+    kern = functools.partial(_mlp_cmajor_dual_kernel, C=C, emit_q=emit_q)
+    # Mosaic's last-two-dims rule forbids a (.., 1, nb) block on the
+    # (C, W, H, N) q-orientation (the 1 sits on H). The trailing (H, N)
+    # dims are contiguous, so flatten them to H*N OUTSIDE the kernel (a
+    # free reshape) and index (C, W, nb) blocks at h*nB + n — the same
+    # pure-grid-indexing "transpose", lowering-legal.
+    out_specs = [pl.BlockSpec((C, 1, W, nb), lambda h, n: (0, h, 0, n),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((C, H, W, N), y1.dtype)]
+    if emit_q:
+        out_specs.append(
+            pl.BlockSpec((C, W, nb), lambda h, n: (0, 0, h * nB + n),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((C, W, H * N), y1.dtype))
+    out = pl.pallas_call(
+        kern,
+        grid=(H, nB),
+        in_specs=[
+            pl.BlockSpec((C, 1, W, nb), lambda h, n: (0, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, W, nb), lambda h, n: (0, 0, h * nB + n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1, W, nb), lambda h, n: (0, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, 8), lambda h, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), lambda h, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), lambda h, n: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(y1, y2.reshape(C, W, H * N), resh, pk,
+      jnp.transpose(w1).astype(y1.dtype), jnp.transpose(w2).astype(y1.dtype))
+    if emit_q:
+        return out[0], out[1].reshape(C, W, H, N)
+    return out[0], None
+
+
+def _reference_mlp_dual(y1, y2, resh, ln_scale, ln_bias, w1, b1, w2, b2,
+                        gamma, pre_bias, emit_q):
+    """Differentiable jnp twin of the dual kernel (tests + VJP backward)."""
+    y = y1 + jnp.swapaxes(y2, 1, 2)                # compute-dtype add
+    # tokens-major reference on the transposed view
+    out = _reference_mlp(jnp.transpose(y, (3, 1, 2, 0)),
+                         jnp.transpose(resh, (3, 1, 2, 0)),
+                         ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                         pre_bias, True)
+    oh = jnp.transpose(out, (3, 1, 2, 0))
+    if not emit_q:
+        return oh, None
+    return oh, jnp.swapaxes(oh, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_mlp_cmajor_dual(y1: Array, y2: Array, resh: Array,
+                          ln_scale: Array, ln_bias: Array,
+                          w1: Array, b1: Array, w2: Array, b2: Array,
+                          gamma: Array, pre_bias: Array,
+                          emit_q: bool = True,
+                          interpret: bool = False):
+    return fused_mlp_cmajor_dual_raw(y1, y2, resh, ln_scale, ln_bias,
+                                     w1, b1, w2, b2, gamma, pre_bias,
+                                     emit_q, interpret)
+
+
+def _dual_vjp_fwd(y1, y2, resh, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                  pre_bias, emit_q, interpret):
+    out = fused_mlp_cmajor_dual(y1, y2, resh, ln_scale, ln_bias, w1, b1,
+                                w2, b2, gamma, pre_bias, emit_q, interpret)
+    return out, (y1, y2, resh, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
+                 pre_bias)
+
+
+def _dual_vjp_bwd(emit_q, interpret, resids, cots):
+    """Differentiated-eval-only path (e.g. ERF analysis): autodiff of the
+    jnp twin — training never routes through the dual-resident stage."""
+    def ref(*args):
+        oh, oq = _reference_mlp_dual(*args, emit_q=emit_q)
+        return (oh, oq) if emit_q else (oh,)
+    cot = tuple(cots) if emit_q else (cots[0],)
+    _, vjp = jax.vjp(ref, *resids)
+    return vjp(cot)
+
+
+fused_mlp_cmajor_dual.defvjp(_dual_vjp_fwd, _dual_vjp_bwd)
+
+
 def _reference_mlp(y, res, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
                    pre_bias, add_residual):
     """The exact op composition being fused (models/layers.py layer_norm +

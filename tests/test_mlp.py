@@ -100,6 +100,86 @@ def test_fused_mlp_bf16(rng):
                                np.asarray(want), rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("add_residual", [True, False])
+def test_fused_mlp_cmajor_matches_reference(rng, add_residual):
+    """The C-major (C, M) variant (resident eval path) vs the reference
+    composition — includes an M that does not divide the tile (pad path)."""
+    c, h, w, n = 12, 5, 6, 3
+    yc = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    resc = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    ps = _params(rng, c)
+    got = pm.fused_mlp_cmajor(yc, resc, *ps, add_residual, True)
+    assert got.shape == yc.shape
+    # reference runs tokens-major: transpose (C,H,W,N) -> (N,H,W,C)
+    want = pm._reference_mlp(jnp.transpose(yc, (3, 1, 2, 0)),
+                             jnp.transpose(resc, (3, 1, 2, 0)), *ps,
+                             add_residual=add_residual)
+    np.testing.assert_allclose(np.asarray(jnp.transpose(got, (3, 1, 2, 0))),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_cmajor_grads_match_reference(rng):
+    """C-major VJP (delegates to the tokens-major backward through
+    transposes) vs autodiff of the reference composition."""
+    c, h, w, n = 8, 4, 3, 2
+    yc = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    resc = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    ps = _params(rng, c)
+    r = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+
+    def lf(y_, res_, *ps_):
+        return jnp.sum(pm.fused_mlp_cmajor(y_, res_, *ps_, True, True) * r)
+
+    def lr(y_, res_, *ps_):
+        out = pm._reference_mlp(jnp.transpose(y_, (3, 1, 2, 0)),
+                                jnp.transpose(res_, (3, 1, 2, 0)), *ps_,
+                                add_residual=True)
+        return jnp.sum(jnp.transpose(out, (3, 1, 2, 0)) * r)
+
+    gf = jax.grad(lf, argnums=tuple(range(10)))(yc, resc, *ps)
+    gr = jax.grad(lr, argnums=tuple(range(10)))(yc, resc, *ps)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("emit_q", [True, False])
+def test_fused_mlp_cmajor_dual_matches_reference(rng, emit_q):
+    """Dual-orientation kernel (dual-resident eval stage): branch add +
+    LN+MLP on (C, W, nb) tiles, outputs in both orientations via grid
+    indexing. Checked against the jnp twin, fwd + input grads."""
+    c, h, w, n = 12, 5, 6, 3
+    y1 = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    y2 = jnp.asarray(rng.standard_normal((c, w, h, n)), jnp.float32)
+    resh = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+    ps = _params(rng, c)
+    oh, oq = pm.fused_mlp_cmajor_dual(y1, y2, resh, *ps, emit_q, True)
+    rh, rq = pm._reference_mlp_dual(y1, y2, resh, *ps, emit_q=emit_q)
+    np.testing.assert_allclose(np.asarray(oh), np.asarray(rh),
+                               rtol=2e-4, atol=2e-4)
+    if emit_q:
+        np.testing.assert_allclose(np.asarray(oq), np.asarray(rq),
+                                   rtol=2e-4, atol=2e-4)
+    else:
+        assert oq is None and rq is None
+
+    r = jnp.asarray(rng.standard_normal((c, h, w, n)), jnp.float32)
+
+    def lf(y1_, y2_, res_):
+        o, _ = pm.fused_mlp_cmajor_dual(y1_, y2_, res_, *ps, False, True)
+        return jnp.sum(o * r)
+
+    def lr(y1_, y2_, res_):
+        o, _ = pm._reference_mlp_dual(y1_, y2_, res_, *ps, emit_q=False)
+        return jnp.sum(o * r)
+
+    gf = jax.grad(lf, (0, 1, 2))(y1, y2, resh)
+    gr = jax.grad(lr, (0, 1, 2))(y1, y2, resh)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_erf_poly_accuracy():
     import scipy.special as sp
     x = np.linspace(-4, 4, 2001).astype(np.float32)

@@ -126,6 +126,43 @@ def test_reparam_merge_matches_unfused(rng, decom):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("layout", ["dual", "cmajor"])
+def test_resident_eval_matches_nhwc(rng, layout):
+    """C-major resident eval stages ('dual': both orientations live,
+    zero per-block XLA layout ops; 'cmajor': single orientation) match
+    the per-block NHWC path — the same math in a different layout, so
+    tolerance is fp32 noise."""
+    import dataclasses
+    cfg = tiny_cfg(kernel_size=(31, 31, 31, 7, 5), conv_impl="banded",
+                   pallas_interpret=True, eval_layout=layout)
+    params, state = M.init(jax.random.PRNGKey(2), cfg)
+
+    def jitter(tree):
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        out = []
+        for leaf in leaves:
+            noise = rng.standard_normal(leaf.shape).astype(np.float32)
+            out.append(leaf + 0.05 * jnp.abs(jnp.asarray(noise)))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    state = jitter(state)
+    params = jitter(params)
+    # stages 1-3 qualify (K=31 pair), stage 4 (K=7) stays NHWC
+    assert M._stage_resident_ok(cfg, params["stages"][0], 2, jnp.float32)
+    assert not M._stage_resident_ok(cfg, params["stages"][3], 2, jnp.float32)
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    got, st_r = M.apply(params, state, x, cfg=cfg, train=False)
+    cfg_n = dataclasses.replace(cfg, eval_layout="nhwc")
+    want, st_n = M.apply(params, state, x, cfg=cfg_n, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # eval leaves BN state untouched on both paths
+    for a, b in zip(jax.tree_util.tree_leaves(st_r),
+                    jax.tree_util.tree_leaves(st_n)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_branch_forward_banded_stats_parity(rng):
     """Train-mode conv+BN branch: the banded stats-fused route (conv
     kernel emits the BN sums, batch_norm_from_sums consumes them) matches
