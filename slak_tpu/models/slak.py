@@ -305,6 +305,18 @@ def _lk_forward(x, p, s, *, train, cfg: SLaKConfig):
 # 139.8. split/dualout tie; split keeps the long-tested two-call kernels.
 RESIDENT_PAIR_IMPL = "split"
 
+# Experiment knob (round 4, CLOSED): route TRAIN-mode fused MLP through
+# the Pallas fwd + F-chunked bwd for C > fused_mlp_bwd_ok's monolithic
+# limit (stage 3, C=499). The round-4 train trace showed the in-situ XLA
+# stage-3 MLP at ~29 ms/step vs a ~4 ms compute floor (N-minor layouts
+# inherited from the C-major conv custom-calls), suggesting the kernels
+# could win at step level despite the round-3 chain wash (7.17 vs 6.97
+# ms). MEASURED (tools/probe_wide_mlp.py, v5e bs128 bf16 full train
+# step, 2026-08-19): wide=False 258.6 ms (495 img/s) vs wide=True
+# 261.7 ms — the chunked bwd pays the same layout tax on entry, so XLA
+# keeps stage 3-4 training. Stays False by measurement.
+TRAIN_WIDE_MLP_BWD = False
+
 
 def _fold_eval_pair(p, s):
     """Eval-folded decomposed pair: returns (w1e, w2e, bias_total) with
@@ -431,11 +443,13 @@ def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
 
     # Fused LN+MLP tail (Pallas, ops/pallas_mlp.py): keeps the 4C-wide
     # intermediate in VMEM — measured 1.41x/1.17x per stage-1/3 block over
-    # the XLA op sequence on v5e. Stage 4's (998, 3992) weights exceed the
-    # resident-VMEM gate and stay on the reference composition below.
+    # the XLA op sequence on v5e; stage 4 (998, 3992) fuses in eval since
+    # the 64M vmem cap (133.7 vs 134.9 ms/pass, tools/probe_mlp4.py).
     # Training additionally requires the fused backward kernel to fit
     # (C <= 256): hiding the composition from XLA's autodiff without a
-    # real backward kernel measured 43 ms/step SLOWER than native remat.
+    # real backward kernel measured 43 ms/step SLOWER than native remat,
+    # and the F-chunked wide bwd measured a step-level loss (see
+    # TRAIN_WIDE_MLP_BWD above).
     from slak_tpu.ops.depthwise import _on_tpu
     from slak_tpu.ops.pallas_mlp import (fused_mlp, fused_mlp_bwd_ok,
                                          fused_mlp_ok)
@@ -444,7 +458,7 @@ def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     if (cfg.mlp_impl != "xla"
             and fused_mlp_ok(c, c4, jnp.dtype(y.dtype).itemsize,
                              _on_tpu() or interp)
-            and (not train or fused_mlp_bwd_ok(c))):
+            and (not train or fused_mlp_bwd_ok(c) or TRAIN_WIDE_MLP_BWD)):
         gamma = (p["gamma"] if "gamma" in p
                  else jnp.ones((c,), jnp.float32))
         pre_bias = (jnp.zeros((c,), jnp.float32) if lk_bias is None

@@ -12,7 +12,9 @@ VMEM measured 6.06 -> 4.31 ms per stage-1 block fwd (1.41x) and
 Layout: tokens (N*H*W) tiled on the sublane axis, channels on lanes; the
 (C, 4C) / (4C, C) weights stay resident in VMEM across the token grid
 (constant index_map), which caps the fused path at weight footprints
-<= _W_BYTES_MAX — SLaK-T stages 1-3; stage 4 (998 -> 3992) stays on XLA.
+<= _W_BYTES_MAX — all four SLaK-T stages since the 64M vmem cap landed
+(stage 4 eval measured faster fused; its TRAINING backward stays XLA,
+see fused_mlp_bwd_ok / models/slak.py TRAIN_WIDE_MLP_BWD).
 
 GELU is the exact erf formulation, computed with the Abramowitz-Stegun
 7.1.26 rational approximation (|err| <= 1.5e-7, below bf16 resolution;
@@ -59,7 +61,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_W_BYTES_MAX = 9 * 1024 * 1024
+# Resident-weight budget for the fused fwd kernel. 9M (the original
+# 16M-scoped-vmem-era gate) kept stage 4 (C=998, 15.9M of weights) on
+# the XLA composition; with the kernel's 64M vmem cap the wide shapes
+# fit, and fusing stage 4's eval tail measured faster at full-model
+# level: 133.7 vs 134.9 ms/pass (v5e bs256 bf16 chain/3,
+# tools/probe_mlp4.py, 2026-08-19). Training still requires the
+# backward gate (fused_mlp_bwd_ok / TRAIN_WIDE_MLP_BWD — measured
+# slower for wide C, see models/slak.py).
+_W_BYTES_MAX = 20 * 1024 * 1024
 _BWD_C_MAX = 256
 LN_EPS = 1e-6
 _INV_SQRT2 = 0.7071067811865476
@@ -149,6 +159,12 @@ def _mlp_fused_2d(y2, res2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         out_specs=pl.BlockSpec((Tt, C), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, C), y2.dtype),
+        # stage-4 widths (C=998: 15.9M of resident weights + the 8.2M
+        # fp32 tile) exceed Mosaic's default 16M scoped-vmem cap; the
+        # physical VMEM is 128M, so raise the cap (same as the fused
+        # pair kernels) instead of gating the shape out.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(y2, res2, pk, w1.astype(y2.dtype), w2.astype(y2.dtype))
     return out[:T] if Tp != T else out
