@@ -73,6 +73,19 @@ class SLaKConfig:
     pallas_interpret: bool = False
     bn_axis_name: Optional[str] = None  # SyncBN over this mesh axis if set
 
+    def __post_init__(self):
+        if self.eval_layout not in ("auto", "cmajor", "dual", "nhwc"):
+            raise ValueError(
+                f"eval_layout must be one of auto/cmajor/dual/nhwc, got "
+                f"{self.eval_layout!r}")
+        if self.conv_impl not in ("auto", "xla", "grouped", "banded"):
+            raise ValueError(
+                f"conv_impl must be one of auto/xla/grouped/banded, got "
+                f"{self.conv_impl!r}")
+        if self.mlp_impl not in ("auto", "xla"):
+            raise ValueError(
+                f"mlp_impl must be 'auto' or 'xla', got {self.mlp_impl!r}")
+
     @property
     def widened_dims(self) -> Tuple[int, ...]:
         return tuple(int(d * self.width_factor) for d in self.dims)
@@ -365,6 +378,11 @@ def _stage_resident_ok(cfg: SLaKConfig, blocks, n_batch: int, dtype) -> bool:
     for bp in blocks:
         lk = bp["lk"]
         if "LoRA1" not in lk or "LoRA2" not in lk:
+            return False
+        # _fold_eval_pair folds exactly these branches; any other
+        # bn-bearing branch (e.g. 'origin' from a hand-built checkpoint)
+        # would be silently dropped — reject instead.
+        if set(lk) - {"LoRA1", "LoRA2", "small"}:
             return False
         if not all("bn" in lk[n] for n in lk):
             return False

@@ -533,6 +533,8 @@ def _mlp_cmajor_2d(yc, resc, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
         out_specs=pl.BlockSpec((C, mt), lambda m: (0, m),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((C, Mp), yc.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(yc, resc, pk,
       jnp.transpose(w1).astype(yc.dtype), jnp.transpose(w2).astype(yc.dtype))

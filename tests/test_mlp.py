@@ -190,10 +190,29 @@ def test_erf_poly_accuracy():
 
 
 def test_fused_mlp_gate():
-    # SLaK-T w1.3 stage dims at bf16: stages 1-3 fused, stage 4 exceeds
-    # the resident-weight VMEM budget
+    # SLaK-T w1.3 stage dims at bf16: ALL four stages fit the 20 MiB
+    # resident-weight VMEM budget (stage 4 = 2*998*3992*2 = 15.2 MiB).
     assert pm.fused_mlp_ok(124, 496, 2, True)
     assert pm.fused_mlp_ok(249, 996, 2, True)
     assert pm.fused_mlp_ok(499, 1996, 2, True)
-    assert not pm.fused_mlp_ok(998, 3992, 2, True)
+    assert pm.fused_mlp_ok(998, 3992, 2, True)
+    # Boundary: 2*c*4c*2 > 20 MiB for c > 1144 — SLaK-B w1.3 stage 4
+    # (c=1331, 27.0 MiB) must fall back to the unfused path.
+    assert pm.fused_mlp_ok(1144, 4576, 2, True)
+    assert not pm.fused_mlp_ok(1145, 4580, 2, True)
+    assert not pm.fused_mlp_ok(1331, 5324, 2, True)
     assert not pm.fused_mlp_ok(124, 496, 2, False)   # CPU
+
+
+def test_fused_mlp_stage4_width(rng):
+    """Stage-4 parity at the flagship width (C=998, C4=3992) — the shape
+    the 20 MiB gate newly admits; tiny spatial keeps interpret-mode CPU
+    time bounded."""
+    n, h, w, c = 1, 2, 2, 998
+    y = jnp.asarray(rng.standard_normal((n, h, w, c)) * 0.3, jnp.float32)
+    res = jnp.asarray(rng.standard_normal((n, h, w, c)), jnp.float32)
+    ps = _params(rng, c)
+    got = pm.fused_mlp(y, res, *ps, True, True)
+    want = pm._reference_mlp(y, res, *ps, add_residual=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

@@ -197,3 +197,35 @@ def test_branch_forward_banded_stats_parity(rng):
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_config_validates_impl_strings():
+    """Unknown dispatch strings must error at construction, not silently
+    route to an unintended path (ADVICE r4: a typo like 'nwhc' previously
+    fell through to the cmajor resident path)."""
+    with pytest.raises(ValueError):
+        M.SLaKConfig(eval_layout="nwhc")
+    with pytest.raises(ValueError):
+        M.SLaKConfig(conv_impl="cuda")
+    with pytest.raises(ValueError):
+        M.SLaKConfig(mlp_impl="pallas")
+    # the four valid layouts still construct
+    for lay in ("auto", "cmajor", "dual", "nhwc"):
+        M.SLaKConfig(eval_layout=lay)
+
+
+def test_resident_gate_rejects_unknown_branch(rng):
+    """_fold_eval_pair folds LoRA1/LoRA2/small only; a block carrying any
+    other bn-bearing branch (e.g. 'origin' from a hand-built checkpoint)
+    must NOT qualify for the resident path (ADVICE r4)."""
+    cfg = tiny_cfg(kernel_size=(31, 31, 31, 7, 5), conv_impl="banded",
+                   pallas_interpret=True)
+    params, _ = M.init(jax.random.PRNGKey(0), cfg)
+    assert M._stage_resident_ok(cfg, params["stages"][0], 2, jnp.float32)
+    blk = params["stages"][0][0]
+    blk["lk"]["origin"] = {
+        "w": blk["lk"]["LoRA1"]["w"],
+        "bn": blk["lk"]["LoRA1"]["bn"],
+    }
+    assert not M._stage_resident_ok(cfg, params["stages"][0], 2, jnp.float32)
+    del blk["lk"]["origin"]
