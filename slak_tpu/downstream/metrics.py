@@ -15,15 +15,23 @@ they are first-class:
   ``mmseg/evaluation/metrics/iou_metric.py`` semantics).
 
 * detection: COCO AP over :func:`cascade_predict`'s fixed-shape padded
-  outputs (score==0 slots dropped). Protocol matches pycocotools
-  ``COCOeval`` for the no-crowd case: per image+class greedy matching
-  in det-score order to the highest-IoU unmatched GT at each IoU
-  threshold in 0.50:0.05:0.95, global score-ordered PR curve,
-  right-max precision interpolation sampled at 101 recall points,
-  AP averaged over classes with ground truth. Mask AP uses the same
-  machinery with pasted-mask IoU (the 28x28 box-relative sigmoid mask
-  bilinearly resized into the box on the GT mask grid, 0.5-binarized —
-  mmdet's paste_masks_in_image semantics at the evaluation grid).
+  outputs (score==0 slots dropped). Protocol-exact re-implementation of
+  the pycocotools ``COCOeval`` algorithm (round 5 — previously the
+  no-crowd core only): per image+class greedy matching in det-score
+  order (ties to the later GT, exactly the reference walk), crowd GTs
+  ignored-but-matchable with intersection-over-det-area IoU, the
+  maxDets (1, 10, 100) per-image-per-class caps, the four area ranges
+  (all/small/medium/large) with unmatched-outside-range det ignoring,
+  global score-ordered PR curve, right-max precision interpolation
+  sampled at 101 recall points, AP averaged over classes with ground
+  truth. The matching walk is vectorized over the 10 IoU thresholds and
+  the IoU matrices over det x GT (mask IoU via per-pair tight-bbox
+  crops), so 5k-image x 80-class scale runs in minutes, not days.
+  Cross-validated against an independent literal transcription of the
+  published algorithm in tests/test_metrics.py. Mask AP uses pasted-mask
+  IoU (the 28x28 box-relative sigmoid mask bilinearly resized into the
+  box on the GT mask grid, 0.5-binarized — mmdet's paste_masks_in_image
+  semantics at the evaluation grid).
 """
 
 from __future__ import annotations
@@ -81,8 +89,11 @@ def seg_scores(cm: np.ndarray) -> Dict[str, float]:
 # ---------------------------------------------------------------------------
 
 
-def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(N, 4) x (M, 4) xyxy -> (N, M) IoU."""
+def box_iou(a: np.ndarray, b: np.ndarray,
+            crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """(N, 4) x (M, 4) xyxy -> (N, M) IoU. ``crowd`` flags columns whose
+    denominator is the *det* area (pycocotools ``maskUtils.iou`` iscrowd
+    semantics: a det fully inside a crowd region scores 1)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     lt = np.maximum(a[:, None, :2], b[None, :, :2])
@@ -92,6 +103,9 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     area_a = np.prod(np.clip(a[:, 2:] - a[:, :2], 0, None), -1)
     area_b = np.prod(np.clip(b[:, 2:] - b[:, :2], 0, None), -1)
     union = area_a[:, None] + area_b[None, :] - inter
+    if crowd is not None and np.any(crowd):
+        union = np.where(np.asarray(crowd, bool)[None, :],
+                         area_a[:, None], union)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
@@ -135,82 +149,182 @@ def paste_mask(mask: np.ndarray, box: np.ndarray, grid_hw: Tuple[int, int],
     return out
 
 
-def mask_iou(pred: Sequence[np.ndarray], gt: Sequence[np.ndarray]
-             ) -> np.ndarray:
-    """(N binary grids) x (M binary grids) -> (N, M) IoU."""
-    n, m = len(pred), len(gt)
-    out = np.zeros((n, m))
-    for i in range(n):
-        for j in range(m):
-            inter = np.logical_and(pred[i], gt[j]).sum()
-            union = np.logical_or(pred[i], gt[j]).sum()
-            out[i, j] = inter / union if union else 0.0
+def _mask_bounds(masks: np.ndarray) -> np.ndarray:
+    """(K, Gh, Gw) bool -> (K, 4) tight [y1, x1, y2, x2) bounds (zeros for
+    empty masks)."""
+    k = masks.shape[0]
+    out = np.zeros((k, 4), np.int64)
+    any_row = masks.any(2)
+    any_col = masks.any(1)
+    for i in range(k):
+        ys = np.flatnonzero(any_row[i])
+        if ys.size == 0:
+            continue
+        xs = np.flatnonzero(any_col[i])
+        out[i] = (ys[0], xs[0], ys[-1] + 1, xs[-1] + 1)
     return out
 
 
-def _greedy_match(iou: np.ndarray, thr: float) -> np.ndarray:
-    """pycocotools matching: dets in score order (rows already sorted)
-    each take the highest-IoU still-unmatched GT with IoU >= thr.
-    Returns a bool TP flag per det row."""
-    nd, ng = iou.shape
-    taken = np.zeros(ng, bool)
-    tp = np.zeros(nd, bool)
-    for d in range(nd):
-        best, bi = thr - 1e-10, -1
-        for g in range(ng):
-            if taken[g] or iou[d, g] <= best:
+def mask_iou(pred: Sequence[np.ndarray], gt: Sequence[np.ndarray],
+             crowd: Optional[np.ndarray] = None) -> np.ndarray:
+    """(N binary grids) x (M binary grids) -> (N, M) IoU; intersections
+    computed on tight-bbox crops so COCO-scale grids stay cheap. ``crowd``
+    columns use the det area as denominator (pycocotools iscrowd)."""
+    n, m = len(pred), len(gt)
+    out = np.zeros((n, m))
+    if n == 0 or m == 0:
+        return out
+    pred = np.asarray(pred, bool)
+    gt = np.asarray(gt, bool)
+    pa = pred.reshape(n, -1).sum(1).astype(np.float64)
+    ga = gt.reshape(m, -1).sum(1).astype(np.float64)
+    pb = _mask_bounds(pred)
+    gb = _mask_bounds(gt)
+    crowd = (np.zeros(m, bool) if crowd is None
+             else np.asarray(crowd, bool))
+    for i in range(n):
+        if pa[i] == 0:
+            continue
+        y1 = np.maximum(pb[i, 0], gb[:, 0])
+        x1 = np.maximum(pb[i, 1], gb[:, 1])
+        y2 = np.minimum(pb[i, 2], gb[:, 2])
+        x2 = np.minimum(pb[i, 3], gb[:, 3])
+        for j in range(m):
+            if ga[j] == 0 or y2[j] <= y1[j] or x2[j] <= x1[j]:
                 continue
-            best, bi = iou[d, g], g
-        if bi >= 0:
-            taken[bi] = True
-            tp[d] = True
-    return tp
+            inter = np.count_nonzero(
+                pred[i, y1[j]:y2[j], x1[j]:x2[j]]
+                & gt[j, y1[j]:y2[j], x1[j]:x2[j]])
+            denom = pa[i] if crowd[j] else pa[i] + ga[j] - inter
+            out[i, j] = inter / denom if denom > 0 else 0.0
+    return out
 
 
-def _ap_from_matches(scores: np.ndarray, tp: np.ndarray, n_gt: int
-                     ) -> float:
-    """COCO 101-point AP from globally pooled (score, tp) pairs."""
-    if n_gt == 0:
-        return float("nan")
-    if scores.size == 0:
-        return 0.0
-    order = np.argsort(-scores, kind="mergesort")
-    tp = tp[order]
-    tps = np.cumsum(tp)
-    fps = np.cumsum(~tp)
-    rec = tps / n_gt
-    prec = tps / np.maximum(tps + fps, 1e-12)
-    # right-max interpolation (monotone non-increasing precision)
-    for i in range(len(prec) - 1, 0, -1):
-        prec[i - 1] = max(prec[i - 1], prec[i])
-    inds = np.searchsorted(rec, REC_THRS, side="left")
-    q = np.zeros(len(REC_THRS))
-    ok = inds < len(prec)
-    q[ok] = prec[inds[ok]]
-    return float(q.mean())
+# pycocotools areaRng: all / small / medium / large
+AREA_RANGES = ((0.0, 1e10), (0.0, 32.0 ** 2), (32.0 ** 2, 96.0 ** 2),
+               (96.0 ** 2, 1e10))
+AREA_LABELS = ("all", "small", "medium", "large")
+MAX_DETS = (1, 10, 100)
+
+
+def _match_img_cat(iou: np.ndarray, n_real: int, crowd: np.ndarray,
+                   thrs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """The pycocotools ``evaluateImg`` greedy walk, vectorized over the
+    IoU thresholds. ``iou`` is (D, G) with dets in score order and GTs
+    sorted ignore-last (the first ``n_real`` are non-ignored); ``crowd``
+    flags (sorted) GT columns that stay matchable after being taken.
+
+    Tie rule: the reference scan updates its best on ``>=``, so equal
+    IoUs go to the LATER GT; an ignored GT never outbids a real match
+    (the scan breaks at the ignore boundary once a real match exists).
+    Returns (dtm (T, D) matched flags, dt_ig (T, D) matched-to-ignored
+    flags)."""
+    D, G = iou.shape
+    T = len(thrs)
+    thr = np.minimum(thrs, 1 - 1e-10)[:, None]
+    gtm = np.zeros((T, G), bool)
+    dtm = np.zeros((T, D), bool)
+    dt_ig = np.zeros((T, D), bool)
+    trange = np.arange(T)
+    for d in range(D):
+        row = iou[d]
+        m = np.full(T, -1, np.int64)
+        if n_real:
+            cand = (~gtm[:, :n_real]) & (row[None, :n_real] >= thr)
+            vals = np.where(cand, row[:n_real], -1.0)
+            m_real = n_real - 1 - np.argmax(vals[:, ::-1], axis=1)
+            m = np.where(cand.any(1), m_real, m)
+        if G > n_real:
+            avail = (~gtm[:, n_real:]) | crowd[None, n_real:]
+            cand_i = avail & (row[None, n_real:] >= thr)
+            vals_i = np.where(cand_i, row[n_real:], -1.0)
+            m_ig = G - 1 - np.argmax(vals_i[:, ::-1], axis=1)
+            m = np.where((m < 0) & cand_i.any(1), m_ig, m)
+        hit = m >= 0
+        if not hit.any():
+            continue
+        dtm[hit, d] = True
+        dt_ig[:, d] = hit & (m >= n_real)
+        gtm[trange[hit], m[hit]] = True
+    return dtm, dt_ig
+
+
+def _accumulate(per_img, thrs: np.ndarray, max_dets: Sequence[int]
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """pycocotools ``accumulate`` for one (class, area-range) cell:
+    ``per_img`` is a list of (scores (D,), dtm (T, D), dt_ig (T, D),
+    n_real) records. Returns (precision (T, R, M), recall (T, M)),
+    -1 where the class has no GT in range."""
+    T = len(thrs)
+    R = len(REC_THRS)
+    M = len(max_dets)
+    precision = np.full((T, R, M), -1.0)
+    recall = np.full((T, M), -1.0)
+    npig = sum(r[3] for r in per_img)
+    if npig == 0:
+        return precision, recall
+    for mi, md in enumerate(max_dets):
+        scores = np.concatenate([r[0][:md] for r in per_img]) \
+            if per_img else np.zeros(0)
+        order = np.argsort(-scores, kind="mergesort")
+        if per_img:
+            dtm = np.concatenate([r[1][:, :md] for r in per_img],
+                                 axis=1)[:, order]
+            dt_ig = np.concatenate([r[2][:, :md] for r in per_img],
+                                   axis=1)[:, order]
+        else:
+            dtm = dt_ig = np.zeros((T, 0), bool)
+        tps = dtm & ~dt_ig
+        fps = ~dtm & ~dt_ig
+        tp = np.cumsum(tps, axis=1, dtype=np.float64)
+        fp = np.cumsum(fps, axis=1, dtype=np.float64)
+        nd = tp.shape[1]
+        rc = tp / npig
+        pr = tp / np.maximum(fp + tp, np.spacing(1))
+        # right-max interpolation (monotone non-increasing precision)
+        pr = np.maximum.accumulate(pr[:, ::-1], axis=1)[:, ::-1]
+        recall[:, mi] = rc[:, -1] if nd else 0.0
+        for ti in range(T):
+            inds = np.searchsorted(rc[ti], REC_THRS, side="left")
+            ok = inds < nd
+            q = np.zeros(R)
+            q[ok] = pr[ti, inds[ok]]
+            precision[ti, :, mi] = q
+    return precision, recall
 
 
 def coco_ap(detections: List[Dict[str, np.ndarray]],
             ground_truths: List[Dict[str, np.ndarray]],
             num_classes: int,
             iou_type: str = "bbox",
-            img_hw: Optional[Tuple[int, int]] = None) -> Dict[str, float]:
-    """COCO AP over per-image prediction/GT dicts.
+            img_hw: Optional[Tuple[int, int]] = None,
+            max_dets: Sequence[int] = MAX_DETS) -> Dict[str, float]:
+    """COCO AP/AR over per-image prediction/GT dicts — the pycocotools
+    ``COCOeval`` protocol (see the module docstring).
 
     detections[i]: ``boxes (D,4)``, ``scores (D,)``, ``labels (D,)``
       [+ ``masks (D,m,m)`` box-relative soft masks for iou_type='segm'];
       padded slots carry score 0 and are dropped.
     ground_truths[i]: ``boxes (G,4)``, ``labels (G,)``, ``valid (G,)``
-      [+ ``masks (G,Gh,Gw)`` full-image binary grids for 'segm'].
+      [+ ``masks (G,Gh,Gw)`` full-image binary grids for 'segm';
+      + optional ``iscrowd (G,)`` crowd/ignore flags (pycocotools: a
+      crowd GT is never a miss and absorbs any number of dets at
+      intersection-over-det-area IoU); + optional ``areas (G,)`` in
+      image pixels for the area-range splits (defaults to the box area
+      for 'bbox' / the mask area for 'segm' — COCO's own protocol uses
+      the annotation's segmentation area for both)].
 
-    Returns ``{"AP": .., "AP50": .., "AP75": ..}`` (fractions in [0,1]).
+    Returns the 12 standard metrics (fractions in [0, 1]): AP, AP50,
+    AP75, APs/APm/APl, AR1/AR10/AR100, ARs/ARm/ARl.
     """
     assert len(detections) == len(ground_truths)
-    # per class, per iou-thr: pooled scores + tp flags, and gt counts
-    per_cls_scores: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
-    per_cls_tp: List[List[List[np.ndarray]]] = [
-        [[] for _ in IOU_THRS] for _ in range(num_classes)]
-    n_gt = np.zeros(num_classes, np.int64)
+    thrs = np.asarray(IOU_THRS)
+    T = len(thrs)
+    A = len(AREA_RANGES)
+    M = len(max_dets)
+    md_max = max(max_dets)
+    # per class: list of per-image records
+    per_cls: List[List[dict]] = [[] for _ in range(num_classes)]
 
     for det, gt in zip(detections, ground_truths):
         keep = np.asarray(det["scores"]) > 0
@@ -220,48 +334,94 @@ def coco_ap(detections: List[Dict[str, np.ndarray]],
         gv = np.asarray(gt["valid"]).astype(bool)
         g_boxes = np.asarray(gt["boxes"])[gv]
         g_labels = np.asarray(gt["labels"])[gv].astype(int)
+        g_crowd = (np.asarray(gt["iscrowd"])[gv].astype(bool)
+                   if "iscrowd" in gt else np.zeros(gv.sum(), bool))
+        g_areas = (np.asarray(gt["areas"])[gv].astype(np.float64)
+                   if "areas" in gt else None)
 
         if iou_type == "segm":
             assert img_hw is not None, "segm AP needs img_hw"
             g_masks = np.asarray(gt["masks"])[gv] >= 0.5
             grid_hw = g_masks.shape[-2:] if g_masks.size else (1, 1)
-            d_masks = [paste_mask(m, b, grid_hw, img_hw)
-                       for m, b in zip(np.asarray(det["masks"])[keep],
-                                       d_boxes)]
+            # grid-pixel -> image-pixel area scale (the range thresholds
+            # are denominated in image pixels)
+            a_scale = (img_hw[0] * img_hw[1]) / max(
+                grid_hw[0] * grid_hw[1], 1)
+            d_masks = np.asarray(
+                [paste_mask(m, b, grid_hw, img_hw)
+                 for m, b in zip(np.asarray(det["masks"])[keep], d_boxes)]
+                if keep.any() else np.zeros((0,) + tuple(grid_hw), bool))
+            d_areas_all = d_masks.sum((1, 2)) * a_scale
+            if g_areas is None:
+                g_areas = g_masks.sum((1, 2)) * a_scale if g_masks.size \
+                    else np.zeros(len(g_masks))
+        else:
+            d_areas_all = np.prod(
+                np.clip(d_boxes[:, 2:] - d_boxes[:, :2], 0, None), -1) \
+                if len(d_boxes) else np.zeros(0)
+            if g_areas is None:
+                g_areas = np.prod(
+                    np.clip(g_boxes[:, 2:] - g_boxes[:, :2], 0, None), -1) \
+                    if len(g_boxes) else np.zeros(0)
 
-        for c in np.unique(np.concatenate([d_labels, g_labels])
-                           if (d_labels.size or g_labels.size)
-                           else np.zeros(0, int)):
-            dsel = d_labels == c
-            gsel = g_labels == c
-            n_gt[c] += int(gsel.sum())
-            if not dsel.any():
-                continue
-            order = np.argsort(-d_scores[dsel], kind="mergesort")
+        labels_present = np.unique(np.concatenate([d_labels, g_labels])) \
+            if (d_labels.size or g_labels.size) else np.zeros(0, int)
+        for c in labels_present:
+            dsel = np.flatnonzero(d_labels == c)
+            gsel = np.flatnonzero(g_labels == c)
+            order = dsel[np.argsort(-d_scores[dsel],
+                                    kind="mergesort")][:md_max]
             if iou_type == "segm":
-                pm = [m for m, s in zip(d_masks, dsel) if s]
-                pm = [pm[i] for i in order]
-                gm = [m for m in g_masks[gsel]]
-                iou = mask_iou(pm, gm)
+                iou = mask_iou(d_masks[order], g_masks[gsel],
+                               crowd=g_crowd[gsel])
             else:
-                iou = box_iou(d_boxes[dsel][order], g_boxes[gsel])
-            per_cls_scores[c].append(d_scores[dsel][order])
-            for ti, thr in enumerate(IOU_THRS):
-                per_cls_tp[c][ti].append(_greedy_match(iou, thr))
+                iou = box_iou(d_boxes[order], g_boxes[gsel],
+                              crowd=g_crowd[gsel])
+            per_cls[c].append({
+                "scores": d_scores[order],
+                "d_areas": d_areas_all[order],
+                "iou": iou,
+                "g_areas": g_areas[gsel],
+                "g_crowd": g_crowd[gsel],
+            })
 
-    ap = np.full((num_classes, len(IOU_THRS)), np.nan)
+    precision = np.full((T, len(REC_THRS), num_classes, A, M), -1.0)
+    recall = np.full((T, num_classes, A, M), -1.0)
     for c in range(num_classes):
-        if n_gt[c] == 0:
+        if not per_cls[c]:
             continue
-        scores = (np.concatenate(per_cls_scores[c])
-                  if per_cls_scores[c] else np.zeros(0))
-        for ti in range(len(IOU_THRS)):
-            tp = (np.concatenate(per_cls_tp[c][ti])
-                  if per_cls_tp[c][ti] else np.zeros(0, bool))
-            ap[c, ti] = _ap_from_matches(scores, tp, int(n_gt[c]))
+        for ai, (lo, hi) in enumerate(AREA_RANGES):
+            records = []
+            for r in per_cls[c]:
+                g_ig = r["g_crowd"] | (r["g_areas"] < lo) \
+                    | (r["g_areas"] > hi)
+                gorder = np.argsort(g_ig, kind="mergesort")
+                n_real = int((~g_ig).sum())
+                dtm, dt_ig = _match_img_cat(
+                    r["iou"][:, gorder], n_real, r["g_crowd"][gorder],
+                    thrs)
+                out_rng = (r["d_areas"] < lo) | (r["d_areas"] > hi)
+                dt_ig = dt_ig | (~dtm & out_rng[None, :])
+                records.append((r["scores"], dtm, dt_ig, n_real))
+            precision[:, :, c, ai, :], recall[:, c, ai, :] = \
+                _accumulate(records, thrs, max_dets)
 
     def _mean(x):
-        return float(np.nanmean(x)) if np.isfinite(x).any() else 0.0
+        x = x[x > -1]
+        return float(np.mean(x)) if x.size else 0.0
 
-    return {"AP": _mean(ap), "AP50": _mean(ap[:, 0]),
-            "AP75": _mean(ap[:, 5])}
+    mi100 = max_dets.index(100) if 100 in max_dets else M - 1
+    out = {
+        "AP": _mean(precision[:, :, :, 0, mi100]),
+        "AP50": _mean(precision[0, :, :, 0, mi100]),
+        "AP75": _mean(precision[5, :, :, 0, mi100]),
+        "APs": _mean(precision[:, :, :, 1, mi100]),
+        "APm": _mean(precision[:, :, :, 2, mi100]),
+        "APl": _mean(precision[:, :, :, 3, mi100]),
+        "ARs": _mean(recall[:, :, 1, mi100]),
+        "ARm": _mean(recall[:, :, 2, mi100]),
+        "ARl": _mean(recall[:, :, 3, mi100]),
+    }
+    for mi, md in enumerate(max_dets):
+        out[f"AR{md}"] = _mean(recall[:, :, 0, mi])
+    return out
