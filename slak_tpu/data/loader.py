@@ -38,6 +38,18 @@ fast chip (a 1983 img/s eval chip needs ~8 cores at the measured ~220
 img/s/core): independent children, shared-memory transport, ordered
 reassembly — the same design torch's DataLoader scales with, minus the
 per-batch pickling.
+
+Failure policy (fail fast, never respawn): a worker that raises reports
+the traceback and the parent re-raises immediately; a worker that dies
+HARD (segfault/OOM-kill — no message) is caught by the parent's 5 s
+result-poll liveness check, which also covers its lost in-flight task
+(the task queue is shared, but a dispatched task rides with the worker).
+Both paths raise within one poll window — torch DataLoader's
+``_MultiProcessingDataLoaderIter`` watchdog semantics. Recovery is the
+auto-resume layer's job (train/main.py restarts from the last
+checkpoint), not the loader's; silently respawning a worker would skip
+its batch and bias the epoch. Covered by tests/test_data.py::
+test_process_loader_{propagates_worker_errors,detects_hard_worker_death}.
 """
 
 from __future__ import annotations

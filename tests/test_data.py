@@ -333,6 +333,17 @@ class _FailAt13(SyntheticDataset):
         return super().__getitem__(idx)
 
 
+class _DieAt13(SyntheticDataset):
+    """Hard worker death (no exception path, no message — the segfault
+    analog): the child exits mid-task."""
+
+    def __getitem__(self, idx):
+        if idx == 13:
+            import os
+            os._exit(3)
+        return super().__getitem__(idx)
+
+
 def test_process_loader_matches_thread_mode():
     """The spawned-worker loader (reference main.py:268-276 uses torch
     DataLoader worker processes) yields the same ordered label stream and
@@ -365,6 +376,21 @@ def test_process_loader_propagates_worker_errors():
     dl = BatchLoader(ds, 8, shuffle=False, num_workers=2, mode="process")
     with pytest.raises(RuntimeError, match="boom at 13"):
         list(dl)
+
+
+def test_process_loader_detects_hard_worker_death():
+    """A worker that dies WITHOUT reporting (os._exit mid-task — the
+    segfault analog) must not hang the epoch: the parent's poll loop
+    notices the dead child and fails fast (fail-don't-respawn policy;
+    recovery belongs to the auto-resume layer, train/main.py)."""
+    import time
+    ds = _DieAt13(n=40, size=32, nb_classes=7, transform=EvalTransform(24))
+    dl = BatchLoader(ds, 8, shuffle=False, num_workers=2, mode="process")
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="died unexpectedly"):
+        list(dl)
+    # one 5 s poll window + spawn/teardown slack, not a hang
+    assert time.monotonic() - t0 < 60.0
 
 
 def test_process_loader_train_transform_randomness():
