@@ -37,13 +37,16 @@ def gelu(x: Array) -> Array:
 
 
 def drop_path(x: Array, rate: float, rng: Optional[jax.Array],
-              train: bool) -> Array:
-    """Stochastic depth: drop the whole residual branch per sample."""
+              train: bool, axis: int = 0) -> Array:
+    """Stochastic depth: drop the whole residual branch per sample.
+    ``axis`` is the batch axis (3 in the C-major resident train layout);
+    the mask draw is layout-invariant — bernoulli over N samples."""
     if not train or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep, shape)
+    shape = [1] * x.ndim
+    shape[axis] = x.shape[axis]
+    mask = jax.random.bernoulli(rng, keep, tuple(shape))
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

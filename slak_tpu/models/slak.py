@@ -29,8 +29,10 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-from slak_tpu.models.layers import layer_norm, gelu, drop_path, trunc_normal
+from slak_tpu.models.layers import (LN_EPS, layer_norm, gelu, drop_path,
+                                    trunc_normal)
 from slak_tpu.ops.batchnorm import batch_norm, fold_bn
 from slak_tpu.ops.depthwise import depthwise_conv2d, large_kernel_conv
 
@@ -68,6 +70,13 @@ class SLaKConfig:
     #     the per-block transposes they remove; kept as a tested variant;
     #   'nhwc' — the per-block NHWC round trips (A/B + fallback).
     eval_layout: str = "auto"
+    # Train activation layout for qualifying stages
+    # (_stage_resident_train_ok): 'auto'/'cmajor' — C-major resident train
+    # blocks (the banded custom-VJP pair with zero NHWC adapters + a
+    # C-contracted XLA MLP; 'auto' additionally consults the measured
+    # per-stage table TRAIN_RESIDENT_STAGES); 'nhwc' — the per-branch
+    # NHWC round trips (A/B + fallback).
+    train_layout: str = "auto"
     # Run the Pallas kernels in interpret mode (CPU testing / multi-chip
     # dryruns of the real kernel routing; lifts the batch%128 constraint).
     pallas_interpret: bool = False
@@ -78,6 +87,10 @@ class SLaKConfig:
             raise ValueError(
                 f"eval_layout must be one of auto/cmajor/dual/nhwc, got "
                 f"{self.eval_layout!r}")
+        if self.train_layout not in ("auto", "cmajor", "nhwc"):
+            raise ValueError(
+                f"train_layout must be one of auto/cmajor/nhwc, got "
+                f"{self.train_layout!r}")
         if self.conv_impl not in ("auto", "xla", "grouped", "banded"):
             raise ValueError(
                 f"conv_impl must be one of auto/xla/grouped/banded, got "
@@ -454,6 +467,169 @@ def _stage_forward_dual(x, blocks, states, cfg: SLaKConfig):
     return x if x.shape[0] == n0 else x[:n0]
 
 
+# ---------------------------------------------------------------------------
+# C-major resident TRAIN stage (round 5)
+#
+# Eval earned 1983 -> 2096 img/s by deleting the per-block layout glue
+# (see the round-4 comment above); the train step still paid it twice —
+# every branch's NHWC entry transposed x to C-major and back (fwd AND
+# bwd, _vjp_stats_fwd/_vjp_bwd), and the stage-3/4 XLA MLP inherited an
+# N-minor layout from the conv custom-calls (~29 ms/step vs a ~4 ms
+# compute floor in the round-4 trace, ROADMAP.md). A resident train
+# stage transposes ONCE at entry, runs the branches through the C-major
+# custom VJP (pallas_banded.dwconv_banded_stats_cmajor_vjp — the same
+# kernels, zero NHWC adapters), BN on caxis=0, and an MLP written as
+# C-contracted dots — (C, 4C) x (C, M) — so XLA sees the M-major layout
+# natively in both directions of autodiff. No batch padding: the gate
+# requires N % 128 == 0 when compiled, keeping BN sums and wgrad exact.
+# ---------------------------------------------------------------------------
+
+# Per-stage routing for train_layout='auto', set by measurement
+# (tools/probe_train_layout.py, SLaK-T 51x51 w1.3 bs128 bf16 full train
+# step, TPU 2026-08-20, median of 5):
+#   0000 265.6 ms | 0010 260.5 | 0001 270.0 | 0011 272.2 | 1100 271.3 |
+#   1111 278.3.
+# Only stage 3 wins resident: stages 1-2 trade the fused Pallas MLP
+# backward for the resident layout and lose, and stage 4 (C=998, 7x7
+# maps) is faster through the fused Pallas MLP than through the
+# C-contracted XLA dots. Re-run the probe before changing.
+TRAIN_RESIDENT_STAGES = (False, False, True, False)
+
+
+def _stage_resident_train_ok(cfg: SLaKConfig, blocks, x, stage_idx: int) \
+        -> bool:
+    """Gate for the C-major resident TRAIN stage: every branch must ride
+    the banded custom-VJP path (decomposed rectangular pair at K >= 31,
+    or the 2-D tiny-map route) with branch BN, and the batch must tile
+    the 128-lane blocks exactly (no padding — padded rows would corrupt
+    the NEXT block's BN sums and wgrad once the MLP makes them nonzero)."""
+    if cfg.train_layout == "nhwc":
+        return False
+    if cfg.conv_impl not in ("auto", "banded"):
+        return False
+    if (cfg.train_layout == "auto"
+            and not TRAIN_RESIDENT_STAGES[min(stage_idx, 3)]):
+        return False
+    from slak_tpu.ops.depthwise import _on_tpu
+    from slak_tpu.ops.pallas_banded import batch_block, use_banded2d
+    interp = cfg.pallas_interpret
+    if not (interp or _on_tpu()):
+        return False
+    if not (interp or batch_block(x.shape[0], x.dtype) is not None):
+        return False
+    H, W = x.shape[1], x.shape[2]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    for bp in blocks:
+        lk = bp["lk"]
+        if "LoRA1" not in lk or "LoRA2" not in lk:
+            return False
+        if set(lk) - {"LoRA1", "LoRA2", "small"}:
+            return False
+        if not all("bn" in lk[n] for n in lk):
+            return False
+        kh, kw, _ = lk["LoRA1"]["w"].shape
+        if kh % 2 != 1 or kw % 2 != 1:
+            return False
+        if lk["LoRA2"]["w"].shape[:2] != (kw, kh):
+            return False
+        if not (use_banded2d(H, W, kh, kw, itemsize)
+                or (max(kh, kw) >= 31 and kh != kw)):
+            return False
+        if "small" in lk:
+            sh, sw, _ = lk["small"]["w"].shape
+            if sh % 2 != 1 or sw % 2 != 1:
+                return False
+    return True
+
+
+def _branch_forward_resident_train(xc, p, s, *, cfg: SLaKConfig):
+    """One conv(+BN) branch on a (C, H, W, N) resident activation, train
+    mode. The rectangular pair and the tiny-map shapes ride the C-major
+    banded custom VJP with the stats-fused BN epilogue; the small (s, s)
+    branch at large maps uses XLA's grouped conv with CHWN dimension
+    numbers (its banded form would cost as much as the long branch — the
+    band lives inside an (H, H) matrix regardless of K)."""
+    from slak_tpu.ops.batchnorm import batch_norm_from_sums
+    from slak_tpu.ops.depthwise import depthwise_conv2d_xla_cmajor
+    from slak_tpu.ops.pallas_banded import (dwconv_banded_stats_cmajor_vjp,
+                                            use_banded2d)
+    C, H, W, N = xc.shape
+    kh, kw, _ = p["w"].shape
+    interp = cfg.pallas_interpret
+    itemsize = jnp.dtype(xc.dtype).itemsize
+    new_s = dict(s)
+    if "bn" in p and (use_banded2d(H, W, kh, kw, itemsize)
+                      or max(kh, kw) >= 31):
+        if kw > kh and not use_banded2d(H, W, kh, kw, itemsize):
+            # (s, K) orientation: same kernels on the (C, W, H, N) view
+            xq = jnp.transpose(xc, (0, 2, 1, 3))
+            y, s1, s2 = dwconv_banded_stats_cmajor_vjp(
+                xq, jnp.transpose(p["w"], (1, 0, 2)), interp)
+            y = jnp.transpose(y, (0, 2, 1, 3))
+        else:
+            y, s1, s2 = dwconv_banded_stats_cmajor_vjp(xc, p["w"], interp)
+        y, m, v = batch_norm_from_sums(
+            y, s1, s2, H * W * N, p["bn"]["scale"], p["bn"]["bias"],
+            s["bn"]["mean"], s["bn"]["var"], axis_name=cfg.bn_axis_name,
+            caxis=0)
+        new_s["bn"] = {"mean": m, "var": v}
+        return y, new_s
+    y = depthwise_conv2d_xla_cmajor(xc, p["w"])
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)[:, None, None, None]
+    if "bn" in p:
+        from slak_tpu.ops.batchnorm import batch_norm
+        y, m, v = batch_norm(y, p["bn"]["scale"], p["bn"]["bias"],
+                             s["bn"]["mean"], s["bn"]["var"], train=True,
+                             axis_name=cfg.bn_axis_name, caxis=0)
+        new_s["bn"] = {"mean": m, "var": v}
+    return y, new_s
+
+
+def _block_forward_resident_train(xc, p, s, *, dp_rate, rng,
+                                  cfg: SLaKConfig):
+    """One train block on a (C, H, W, N) resident activation. The MLP
+    tail is the plain XLA composition written C-contracted (same dtype
+    discipline as the NHWC fallback in _block_forward so the two paths
+    are parity-comparable); XLA autodiffs it natively — no layout
+    handoff from the conv custom-calls in either direction."""
+    shortcut = xc
+    out = None
+    new_s = {}
+    for n in ("LoRA1", "LoRA2", "origin", "small"):
+        if n not in p["lk"]:
+            continue
+        y, new_s[n] = _branch_forward_resident_train(
+            xc, p["lk"][n], s["lk"][n], cfg=cfg)
+        out = y if out is None else out + y
+    c = p["pwconv1"]["w"].shape[0]
+    cdt = out.dtype
+    yf = out.astype(jnp.float32)
+    mu = jnp.mean(yf, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(yf - mu), axis=0, keepdims=True)
+    h = (yf - mu) * lax.rsqrt(var + LN_EPS)
+    h = (h * p["norm"]["scale"][:, None, None, None]
+         + p["norm"]["bias"][:, None, None, None]).astype(cdt)
+    shape4 = h.shape
+    hm = h.reshape(c, -1)                                   # (C, M)
+    a = lax.dot_general(p["pwconv1"]["w"].astype(cdt), hm,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                        ).astype(cdt)                       # (4C, M)
+    a = a + p["pwconv1"]["b"].astype(cdt)[:, None]
+    g = gelu(a)
+    o = lax.dot_general(p["pwconv2"]["w"].astype(cdt), g,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32
+                        ).astype(cdt)                       # (C, M)
+    o = o + p["pwconv2"]["b"].astype(cdt)[:, None]
+    if "gamma" in p:
+        o = o * p["gamma"].astype(cdt)[:, None]
+    o = o.reshape(shape4)
+    o = drop_path(o, dp_rate, rng, True, axis=3)
+    return shortcut + o, {"lk": new_s}
+
+
 def _block_forward(x, p, s, *, train, dp_rate, rng, cfg: SLaKConfig):
     shortcut = x
     y, lk_bias, lk_state = _lk_forward(x, p["lk"], s["lk"], train=train,
@@ -558,6 +734,24 @@ def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
                 if x.shape[0] != n0:
                     x = x[:n0]
             new_stages_state.append(list(state["stages"][i]))
+            stage_outputs.append(x)
+            cur += cfg.depths[i]
+            continue
+        if train and _stage_resident_train_ok(cfg, blocks, x, i):
+            # C-major resident TRAIN stage: one transpose in, one out;
+            # rng splits mirror the NHWC loop so drop-path masks match.
+            xc = jnp.transpose(x, (3, 1, 2, 0))
+            blocks_state = []
+            for j, bp in enumerate(blocks):
+                block_rng = None
+                if rng is not None:
+                    rng, block_rng = jax.random.split(rng)
+                xc, bs = _block_forward_resident_train(
+                    xc, bp, state["stages"][i][j], dp_rate=dp[cur + j],
+                    rng=block_rng, cfg=cfg)
+                blocks_state.append(bs)
+            x = jnp.transpose(xc, (3, 1, 2, 0))
+            new_stages_state.append(blocks_state)
             stage_outputs.append(x)
             cur += cfg.depths[i]
             continue

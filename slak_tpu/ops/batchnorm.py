@@ -23,6 +23,17 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1
 
 
+def _cvec(v: Array, ndim: int, caxis: int) -> Array:
+    """Reshape a per-channel (C,) vector to broadcast against a tensor
+    whose channel axis is ``caxis`` (supports the C-major resident
+    layout's axis 0; -1 is the channel-last default and a no-op)."""
+    if caxis in (-1, ndim - 1):
+        return v
+    shape = [1] * ndim
+    shape[caxis] = -1
+    return v.reshape(shape)
+
+
 def batch_norm(
     x: Array,
     scale: Array,
@@ -34,18 +45,23 @@ def batch_norm(
     momentum: float = BN_MOMENTUM,
     eps: float = BN_EPS,
     axis_name: Optional[str] = None,
+    caxis: int = -1,
 ) -> Tuple[Array, Array, Array]:
-    """Channel-last batch norm over (N, H, W, C) or (N, C).
+    """Batch norm over (N, H, W, C) / (N, C) (channel-last default) or any
+    other channel axis via ``caxis`` (0 for the C-major resident layout).
 
     Returns (y, new_running_mean, new_running_var). In eval mode the running
     stats are returned unchanged.
     """
+    nd = x.ndim
     if not train:
         inv = jax.lax.rsqrt(running_var.astype(jnp.float32) + eps)
-        y = (x.astype(jnp.float32) - running_mean) * inv * scale + bias
+        y = ((x.astype(jnp.float32) - _cvec(running_mean, nd, caxis))
+             * _cvec(inv * scale, nd, caxis) + _cvec(bias, nd, caxis))
         return y.astype(x.dtype), running_mean, running_var
 
-    reduce_axes = tuple(range(x.ndim - 1))
+    caxis_pos = caxis % nd
+    reduce_axes = tuple(a for a in range(nd) if a != caxis_pos)
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=reduce_axes)
     mean_sq = jnp.mean(jnp.square(xf), axis=reduce_axes)
@@ -55,7 +71,8 @@ def batch_norm(
     var = mean_sq - jnp.square(mean)  # biased, used for normalization
 
     inv = jax.lax.rsqrt(var + eps)
-    y = (xf - mean) * inv * scale + bias
+    y = ((xf - _cvec(mean, nd, caxis)) * _cvec(inv * scale, nd, caxis)
+         + _cvec(bias, nd, caxis))
 
     # PyTorch updates running_var with the *unbiased* batch variance.
     n = 1
@@ -82,12 +99,14 @@ def batch_norm_from_sums(
     momentum: float = BN_MOMENTUM,
     eps: float = BN_EPS,
     axis_name: Optional[str] = None,
+    caxis: int = -1,
 ) -> Tuple[Array, Array, Array]:
     """Train-mode :func:`batch_norm` from precomputed per-channel batch
     sums s1 = sum(x) and s2 = sum(x^2) over the `count` reduced elements
     (fp32, e.g. emitted by the banded conv kernel's fused epilogue,
     pallas_banded.dwconv_banded_stats_cmajor) — skips the statistics read
-    of x. Semantics identical to ``batch_norm(..., train=True)``."""
+    of x. Semantics identical to ``batch_norm(..., train=True)``; ``caxis``
+    picks the channel axis of x (0 for the C-major resident layout)."""
     mean = s1 / count
     mean_sq = s2 / count
     if axis_name is not None:
@@ -96,7 +115,9 @@ def batch_norm_from_sums(
     var = mean_sq - jnp.square(mean)  # biased, used for normalization
 
     inv = jax.lax.rsqrt(var + eps)
-    y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+    nd = x.ndim
+    y = ((x.astype(jnp.float32) - _cvec(mean, nd, caxis))
+         * _cvec(inv * scale, nd, caxis) + _cvec(bias, nd, caxis))
 
     n = count
     if axis_name is not None:

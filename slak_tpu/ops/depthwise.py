@@ -59,6 +59,27 @@ def depthwise_conv2d_xla(x: Array, w: Array) -> Array:
     return out
 
 
+def depthwise_conv2d_xla_cmajor(xc: Array, w: Array) -> Array:
+    """Stride-1 same-padded depthwise conv on a C-major activation.
+    xc: (C, H, W, N), w: (kh, kw, C). Returns (C, H, W, N). Used by the
+    resident training stage (models/slak.py) for the small (s, s) branch,
+    whose banded formulation would cost the same as the long branch (the
+    band lives inside an (H, H) matrix regardless of K) — XLA's native
+    grouped conv with explicit CHWN dimension numbers keeps the activation
+    resident instead."""
+    kh, kw, c = w.shape
+    assert xc.shape[0] == c, f"channel mismatch {xc.shape} vs {w.shape}"
+    rhs = w.reshape(kh, kw, 1, c)
+    return lax.conv_general_dilated(
+        xc,
+        rhs.astype(xc.dtype),
+        window_strides=(1, 1),
+        padding=_same_pad(kh, kw),
+        dimension_numbers=("CHWN", "HWIO", "CHWN"),
+        feature_group_count=c,
+    )
+
+
 def depthwise_conv2d(x: Array, w: Array, b: Optional[Array] = None,
                      impl: str = "auto", interpret: bool = False) -> Array:
     """Public depthwise conv. impl in {'auto', 'xla', 'mxu', 'grouped'}.

@@ -1096,6 +1096,80 @@ depthwise_conv2d_banded_stats.defvjp(_vjp_stats_fwd, _vjp_stats_bwd)
 
 
 # ---------------------------------------------------------------------------
+# C-major custom VJP: the resident TRAINING stage's conv branch
+#
+# The round-4 train trace (ROADMAP.md) showed the step paying an N-minor
+# layout tax the eval path had already deleted: every branch's NHWC entry
+# transposes x to C-major, runs the kernel, transposes back — and the
+# backward pays the same three relayouts again (_vjp_bwd). The resident
+# training stage (models/slak.py) transposes ONCE at stage entry and runs
+# every block on (C, H, W, N); this VJP is its conv primitive — identical
+# kernels, zero NHWC adapters, and no batch padding (the stage gate
+# requires N % 128 == 0 when compiled, so BN sums and wgrad see only real
+# batch rows).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def dwconv_banded_stats_cmajor_vjp(xc: Array, w: Array,
+                                   interpret: bool = False):
+    """C-major twin of :func:`depthwise_conv2d_banded_stats`.
+
+    xc: (C, H, W, N) unpadded C-major activation; w: (kh, kw, C), both
+    taps odd, with kh >= kw (callers pass the (s, K) LoRA2 branch through
+    (0, 2, 1, 3)-transposed views) unless the 2-D tiny-map route applies
+    (H*W <= 128 — symmetric in H/W, any odd pair). Compiled callers must
+    guarantee N % 128 == 0. Returns (y (C, H, W, N), s1 (C,), s2 (C,))
+    with s1/s2 the fp32 BN batch sums of y over (H, W, N)."""
+    (y, s1, s2), _ = _cm_vjp_fwd(xc, w, interpret)
+    return y, s1, s2
+
+
+def _cm_vjp_fwd(xc, w, interpret):
+    kh, kw, _ = w.shape
+    C, H, W, N = xc.shape
+    if use_banded2d(H, W, kh, kw, jnp.dtype(xc.dtype).itemsize):
+        y = dwconv_banded2d_cmajor(xc, w, interpret=interpret)
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, (1, 2, 3))
+        s2 = jnp.sum(yf * yf, (1, 2, 3))
+        return (y, s1, s2), (xc, w, y)
+    assert kh >= kw, (kh, kw)
+    xcp = jnp.pad(xc, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)))
+    yc, s1, s2 = dwconv_banded_stats_cmajor(xcp, w, interpret=interpret)
+    return (yc, s1, s2), (xcp, w, yc)
+
+
+def _cm_vjp_bwd(interpret, res, cot):
+    """(dy, ds1, ds2) -> (dxc, dw), all C-major. Same math as
+    :func:`_vjp_stats_bwd` minus its NHWC relayouts: dy_eff folds the
+    sums' cotangents, dgrad = flipped-tap forward, wgrad = the banded
+    correlation kernels."""
+    xc_saved, w, y = res
+    dy, ds1, ds2 = cot
+    kh, kw, _ = w.shape
+    cdt = y.dtype
+    g = (dy.astype(jnp.float32) + ds1[:, None, None, None]
+         + 2.0 * ds2[:, None, None, None] * y.astype(jnp.float32)
+         ).astype(cdt)
+    wf = w[::-1, ::-1, :].astype(cdt)
+    C, H, W, N = g.shape
+    if use_banded2d(H, W, kh, kw, jnp.dtype(cdt).itemsize):
+        dxc = dwconv_banded2d_cmajor(g, wf, interpret=interpret)
+        dA2 = wgrad_banded2d_cmajor(xc_saved, g, interpret=interpret)
+        dw = band_extract2d(dA2, kh, kw, H, W)
+    else:
+        gcp = jnp.pad(g, ((0, 0), (0, 0), (kw // 2, kw // 2), (0, 0)))
+        dxc = dwconv_banded_cmajor(gcp, wf, interpret=interpret)
+        dA = wgrad_banded_cmajor(xc_saved, g, kw, interpret=interpret)
+        dw = band_extract(dA, kh)
+    return dxc.astype(cdt), dw.astype(w.dtype)
+
+
+dwconv_banded_stats_cmajor_vjp.defvjp(_cm_vjp_fwd, _cm_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
 # fused eval pair (LoRA1 + LoRA2 with folded-BN scales)
 # ---------------------------------------------------------------------------
 
