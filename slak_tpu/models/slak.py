@@ -495,6 +495,12 @@ def _stage_forward_dual(x, blocks, states, cfg: SLaKConfig):
 # C-contracted XLA dots. Re-run the probe before changing.
 TRAIN_RESIDENT_STAGES = (False, False, True, False)
 
+# MLP tail of the resident train block: 'xla' = C-contracted dots (XLA
+# autodiff), 'fused' = fused_mlp_cmajor (Pallas LN+MLP fwd; bwd via the
+# tokens-major wide-chunked kernel behind two cheap (C,M) transposes).
+# A/B with probe_train_layout.py masks '0010' vs '0010f'.
+TRAIN_RESIDENT_MLP = "xla"
+
 
 def _stage_resident_train_ok(cfg: SLaKConfig, blocks, x, stage_idx: int) \
         -> bool:
@@ -602,8 +608,23 @@ def _block_forward_resident_train(xc, p, s, *, dp_rate, rng,
         y, new_s[n] = _branch_forward_resident_train(
             xc, p["lk"][n], s["lk"][n], cfg=cfg)
         out = y if out is None else out + y
-    c = p["pwconv1"]["w"].shape[0]
+    c, c4 = p["pwconv1"]["w"].shape
     cdt = out.dtype
+    from slak_tpu.ops.pallas_mlp import fused_mlp_cmajor, fused_mlp_ok
+    if (TRAIN_RESIDENT_MLP == "fused" and cfg.mlp_impl != "xla"
+            and fused_mlp_ok(c, c4, jnp.dtype(cdt).itemsize, True)):
+        gamma = (p["gamma"] if "gamma" in p
+                 else jnp.ones((c,), jnp.float32))
+        pre_bias = jnp.zeros((c,), jnp.float32)
+        args = (out, shortcut, p["norm"]["scale"], p["norm"]["bias"],
+                p["pwconv1"]["w"], p["pwconv1"]["b"],
+                p["pwconv2"]["w"], p["pwconv2"]["b"], gamma, pre_bias)
+        interp = cfg.pallas_interpret
+        if dp_rate > 0.0 and rng is not None:
+            branch = fused_mlp_cmajor(*args, False, interp)
+            return (shortcut + drop_path(branch, dp_rate, rng, True, axis=3),
+                    {"lk": new_s})
+        return fused_mlp_cmajor(*args, True, interp), {"lk": new_s}
     yf = out.astype(jnp.float32)
     mu = jnp.mean(yf, axis=0, keepdims=True)
     var = jnp.mean(jnp.square(yf - mu), axis=0, keepdims=True)

@@ -147,6 +147,41 @@ def test_resident_train_matches_nhwc(rng, dp_rate):
                                    rtol=3e-3, atol=3e-4)
 
 
+@pytest.mark.parametrize("dp_rate", [0.0, 0.4])
+def test_resident_fused_mlp_tail_matches_xla(rng, monkeypatch, dp_rate):
+    """Block level: the TRAIN_RESIDENT_MLP='fused' tail
+    (pallas_mlp.fused_mlp_cmajor — Pallas fwd, tokens-major bwd kernels
+    behind two transposes) must match the C-contracted XLA dots it
+    replaces — output and parameter grads — on the same (C, H, W, N)
+    resident activation, with and without drop-path."""
+    cfg = tiny_cfg()
+    params, state = M.init(jax.random.PRNGKey(2), cfg)
+    p = params["stages"][0][0]
+    s = state["stages"][0][0]
+    xc = jnp.asarray(rng.standard_normal((8, 16, 16, 2)), jnp.float32)
+    key = jax.random.PRNGKey(11) if dp_rate > 0.0 else None
+
+    def run(p):
+        y, _ = M._block_forward_resident_train(
+            xc, p, s, dp_rate=dp_rate, rng=key, cfg=cfg)
+        return jnp.mean(y * jnp.sin(y)), y
+
+    monkeypatch.setattr(M, "TRAIN_RESIDENT_MLP", "xla")
+    (lx, yx), gx = jax.value_and_grad(run, has_aux=True)(p)
+    monkeypatch.setattr(M, "TRAIN_RESIDENT_MLP", "fused")
+    from slak_tpu.ops import pallas_mlp as PM
+    assert PM.fused_mlp_ok(8, 32, 4, True)   # the knob actually engages
+    (lf, yf), gf = jax.value_and_grad(run, has_aux=True)(p)
+
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yx),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-4)
+
+
 def test_resident_train_bf16_runs(rng):
     """bf16 compute (the TPU training dtype) flows through the resident
     stages: finite logits, BN stats updated, grads produced."""

@@ -7,8 +7,11 @@ fresh input bytes per rep, scalar fetch, median of 5):
   eval  — jitted eval forward, bs256 bf16 (bench.py's configuration);
   train — the full sparse-DST train step, bs128 bf16.
 
-Usage: python tools/probe_models.py SLaK_small:eval SLaK_base:train ...
-       (default: SLaK_{tiny,small,base} + convnext_small, both modes)
+Usage: python tools/probe_models.py SLaK_small:eval SLaK_base:train:64 ...
+       (default: SLaK_{tiny,small,base} + convnext_small, both modes;
+       an optional third field overrides the batch — SLaK-B train bs128
+       needs 17.2G HBM and OOMs the 15.75G v5e chip, so its single-chip
+       number is denominated at bs64)
 """
 
 from __future__ import annotations
@@ -107,5 +110,10 @@ if __name__ == "__main__":
                              "convnext_small")
         for k in ("eval", "train")]
     for job in jobs:
-        name, mode = job.split(":")
-        (probe_eval if mode == "eval" else probe_train)(name)
+        parts = job.split(":")
+        name, mode = parts[0], parts[1]
+        fn = probe_eval if mode == "eval" else probe_train
+        if len(parts) > 2:
+            fn(name, bs=int(parts[2]))
+        else:
+            fn(name)

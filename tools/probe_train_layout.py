@@ -39,7 +39,9 @@ def main():
                                            warmup_steps=10))
     masks = sys.argv[1:] or ["0000", "1111"]
     for mask in masks:
-        stages = tuple(c == "1" for c in mask)
+        # optional trailing 'f' = fused_mlp_cmajor tail in resident blocks
+        slak_mod.TRAIN_RESIDENT_MLP = "fused" if mask.endswith("f") else "xla"
+        stages = tuple(c == "1" for c in mask.rstrip("f"))
         assert len(stages) == 4, mask
         slak_mod.TRAIN_RESIDENT_STAGES = stages
         model = create_model(
