@@ -77,6 +77,14 @@ class SLaKConfig:
     # per-stage table TRAIN_RESIDENT_STAGES); 'nhwc' — the per-branch
     # NHWC round trips (A/B + fallback).
     train_layout: str = "auto"
+    # Per-block activation rematerialization for the TRAIN forward
+    # (jax.checkpoint): only block boundaries stay live across the
+    # backward, each block's interior recomputes. Trades one extra block
+    # forward of FLOPs for the dominant activation-memory term — the
+    # TPU-native answer to the reference's multi-GPU memory headroom
+    # (SLaK-B bs128 needs 17.2G unremat'd and OOMs a 15.75G v5e chip).
+    # No reference analog: torch SLaK never checkpoints activations.
+    remat: bool = False
     # Run the Pallas kernels in interpret mode (CPU testing / multi-chip
     # dryruns of the real kernel routing; lifts the batch%128 constraint).
     pallas_interpret: bool = False
@@ -732,6 +740,21 @@ def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
                      rng=None, return_stages=False):
     """Backbone forward. Returns (pooled_features | stage list, new_state)."""
     dp = _dp_rates(cfg)
+
+    def _nhwc_block(bx, bp, bs, block_rng, dp_rate):
+        return _block_forward(bx, bp, bs, train=train, dp_rate=dp_rate,
+                              rng=block_rng, cfg=cfg)
+
+    def _res_train_block(bxc, bp, bs, block_rng, dp_rate):
+        return _block_forward_resident_train(bxc, bp, bs, dp_rate=dp_rate,
+                                             rng=block_rng, cfg=cfg)
+
+    if train and cfg.remat:
+        # dp_rate is static (python float); rng/arrays stay traced so the
+        # checkpointed block keeps a single residual per block boundary.
+        _nhwc_block = jax.checkpoint(_nhwc_block, static_argnums=(4,))
+        _res_train_block = jax.checkpoint(_res_train_block,
+                                          static_argnums=(4,))
     new_stages_state = []
     stage_outputs = []
     cur = 0
@@ -767,9 +790,8 @@ def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
                 block_rng = None
                 if rng is not None:
                     rng, block_rng = jax.random.split(rng)
-                xc, bs = _block_forward_resident_train(
-                    xc, bp, state["stages"][i][j], dp_rate=dp[cur + j],
-                    rng=block_rng, cfg=cfg)
+                xc, bs = _res_train_block(
+                    xc, bp, state["stages"][i][j], block_rng, dp[cur + j])
                 blocks_state.append(bs)
             x = jnp.transpose(xc, (3, 1, 2, 0))
             new_stages_state.append(blocks_state)
@@ -781,9 +803,8 @@ def forward_features(params, state, x, *, cfg: SLaKConfig, train=False,
             block_rng = None
             if rng is not None and train:
                 rng, block_rng = jax.random.split(rng)
-            x, bs = _block_forward(
-                x, bp, state["stages"][i][j], train=train,
-                dp_rate=dp[cur + j], rng=block_rng, cfg=cfg)
+            x, bs = _nhwc_block(
+                x, bp, state["stages"][i][j], block_rng, dp[cur + j])
             blocks_state.append(bs)
         new_stages_state.append(blocks_state)
         stage_outputs.append(x)

@@ -175,6 +175,12 @@ def get_args_parser():
     p.add_argument("--n_devices", default=None, type=int)
     p.add_argument("--multi_host", type=str2bool, default=False)
     p.add_argument("--print_freq", default=200, type=int)
+    p.add_argument("--remat", type=str2bool, default=False,
+                   help="per-block activation rematerialization "
+                        "(jax.checkpoint) in the train forward — trades "
+                        "~one extra forward of FLOPs for the activation "
+                        "HBM term (lets SLaK-B train at bs128 on a 16G "
+                        "chip); no reference analog")
     p.add_argument("--profile_dir", default="", type=str,
                    help="capture a jax.profiler trace of training steps "
                         "into this directory (view with TensorBoard / "
@@ -194,6 +200,7 @@ def build_model(args):
         drop_path_rate=args.drop_path,
         layer_scale_init_value=args.layer_scale_init_value,
         head_init_scale=args.head_init_scale,
+        remat=args.remat,
     )
 
 

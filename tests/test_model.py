@@ -229,3 +229,39 @@ def test_resident_gate_rejects_unknown_branch(rng):
     }
     assert not M._stage_resident_ok(cfg, params["stages"][0], 2, jnp.float32)
     del blk["lk"]["origin"]
+
+
+@pytest.mark.parametrize("dp_rate", [0.0, 0.3])
+def test_remat_train_forward_matches(rng, dp_rate):
+    """cfg.remat wraps each train block in jax.checkpoint — a pure
+    memory/FLOPs trade. Loss, logits, BN state, and parameter grads must
+    match the unremat'd forward exactly (same rng ⇒ same drop-path
+    masks), on both the NHWC and resident-train block paths."""
+    outs = {}
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    for remat in (False, True):
+        cfg = tiny_cfg(drop_path_rate=dp_rate, remat=remat)
+        params, state = M.init(jax.random.PRNGKey(0), cfg)
+        key = jax.random.PRNGKey(7)
+
+        def loss_fn(p):
+            logits, ns = M.apply(p, state, x, cfg=cfg, train=True, rng=key)
+            return jnp.mean(jax.nn.log_softmax(logits)[:, 0] * -1.0), \
+                (logits, ns)
+
+        (loss, (logits, ns)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        outs[remat] = (loss, logits, ns, grads)
+    l0, lg0, ns0, g0 = outs[False]
+    l1, lg1, ns1, g1 = outs[True]
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lg1), np.asarray(lg0),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ns1),
+                    jax.tree_util.tree_leaves(ns0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
