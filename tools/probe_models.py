@@ -9,9 +9,10 @@ fresh input bytes per rep, scalar fetch, median of 5):
 
 Usage: python tools/probe_models.py SLaK_small:eval SLaK_base:train:64 ...
        (default: SLaK_{tiny,small,base} + convnext_small, both modes;
-       an optional third field overrides the batch — SLaK-B train bs128
-       needs 17.2G HBM and OOMs the 15.75G v5e chip, so its single-chip
-       number is denominated at bs64)
+       an optional third field overrides the batch and a trailing
+       ':remat' turns on per-block activation remat — SLaK-B train
+       bs128 needs 17.2G HBM unremat'd and OOMs the 15.75G v5e chip,
+       so its single-chip number is denominated remat'd)
 """
 
 from __future__ import annotations
@@ -29,15 +30,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 
-def _model(name):
+def _model(name, remat=False):
     from slak_tpu.models import create_model
     if name.startswith("SLaK"):
         return create_model(name, kernel_size=(51, 49, 47, 13, 5),
                             decom=True, branch_bn=True, width_factor=1.3,
                             drop_path_rate=0.1, conv_impl="auto",
-                            mlp_impl="auto")
+                            mlp_impl="auto", remat=remat)
     return create_model(name, drop_path_rate=0.1, conv_impl="auto",
-                        mlp_impl="auto")
+                        mlp_impl="auto", remat=remat)
 
 
 def probe_eval(name, bs=256):
@@ -69,11 +70,11 @@ def probe_eval(name, bs=256):
           flush=True)
 
 
-def probe_train(name, bs=128):
+def probe_train(name, bs=128, remat=False):
     from slak_tpu.sparsity import MaskConfig
     from slak_tpu.train import (TrainConfig, cosine_schedule_array,
                                 create_train_state, make_train_step)
-    model = _model(name)
+    model = _model(name, remat=remat)
     rng = np.random.default_rng(0)
     y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 1000, bs)), 1000)
     lr = jnp.asarray(cosine_schedule_array(4e-3, 1e-6, 1, 1000,
@@ -99,7 +100,9 @@ def probe_train(name, bs=128):
         float(m["loss"])
         ts.append(time.perf_counter() - t0)
     ms = 1e3 * sorted(ts)[len(ts) // 2]
-    print(f"{name:16s} train bs{bs}: {ms:7.1f} ms  {bs/(ms/1e3):5.0f} img/s "
+    tag = " remat" if remat else ""
+    print(f"{name:16s} train bs{bs}{tag}: {ms:7.1f} ms  "
+          f"{bs/(ms/1e3):5.0f} img/s "
           f"(all: {' '.join(f'{t*1e3:.0f}' for t in sorted(ts))})",
           flush=True)
 
@@ -112,8 +115,10 @@ if __name__ == "__main__":
     for job in jobs:
         parts = job.split(":")
         name, mode = parts[0], parts[1]
-        fn = probe_eval if mode == "eval" else probe_train
-        if len(parts) > 2:
-            fn(name, bs=int(parts[2]))
+        remat = "remat" in parts[2:]
+        bs = [int(p) for p in parts[2:] if p.isdigit()]
+        kw = {"bs": bs[0]} if bs else {}
+        if mode == "eval":
+            probe_eval(name, **kw)
         else:
-            fn(name)
+            probe_train(name, remat=remat, **kw)
