@@ -147,7 +147,8 @@ def main(args):
     # student ------------------------------------------------------------
     # ConvNeXt student = kernel_size [7,7,7,7,100] (README.md:137)
     student = create_model(args.model_s, num_classes=args.nb_classes,
-                           drop_path_rate=args.drop_path)
+                           drop_path_rate=args.drop_path,
+                           remat=args.remat)
     student_channels = student.cfg.widened_dims[-1]
 
     # data ----------------------------------------------------------------
