@@ -285,6 +285,8 @@ def _mlp_bwd_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
             jax.ShapeDtypeStruct((4, C), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(y2, do2, pk, w1.astype(y2.dtype), w2.astype(y2.dtype))
     dy = dy[:T] if Tp != T else dy
     return dy, dw1, dw2, dv1[0], dv2[0], dv2[1], dv2[2], dv2[3]
@@ -451,6 +453,8 @@ def _mlp_bwd_chunked_2d(y2, do2, ln_scale, ln_bias, w1, b1, w2, b2, gamma,
             jax.ShapeDtypeStruct((4, C), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(y2, do2, pc, pb1, w1.astype(y2.dtype), w2.astype(y2.dtype))
     dy = dy[:T] if Tp != T else dy
     return (dy, dw1[:, :C4], dw2[:C4], dv1[0, :C4], dv2[0], dv2[1],
