@@ -49,6 +49,10 @@ def get_det_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--remat", action="store_true",
+                   help="per-block activation remat in the backbone "
+                        "(jax.checkpoint) — trades FLOPs for HBM at "
+                        "1333x800-class inputs")
     p.add_argument("--eval", action="store_true",
                    help="evaluate COCO-style box+mask AP (the metric the "
                         "reference's 48.4/41.8 AP table is denominated in) "
@@ -122,6 +126,10 @@ def main(args) -> Dict[str, Any]:
 
     recipe = DET_CONFIGS[args.recipe]
     bcfg = _smoke_backbone() if args.smoke else recipe.backbone
+    if args.remat:
+        import dataclasses
+        bcfg = dataclasses.replace(
+            bcfg, model=dataclasses.replace(bcfg.model, remat=True))
     hcfg = _head_cfg(recipe, args.smoke)
     size = args.img_size
     total = args.steps or recipe.epochs * args.steps_per_epoch

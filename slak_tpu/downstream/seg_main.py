@@ -49,6 +49,10 @@ def get_seg_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_bf16", default=False,
                    type=lambda s: str(s).lower() in ("1", "true", "yes"))
+    p.add_argument("--remat", action="store_true",
+                   help="per-block activation remat in the backbone "
+                        "(jax.checkpoint) — trades FLOPs for HBM at "
+                        "512^2 crops")
     p.add_argument("--eval", action="store_true",
                    help="evaluate mIoU/mAcc/aAcc (the metric the "
                         "reference's 47.6 mIoU table is denominated in) "
@@ -177,6 +181,10 @@ def main(args) -> Dict[str, Any]:
     if args.smoke:
         recipe = _shrink_recipe(recipe)
     bcfg, hcfg = recipe.backbone, recipe.head
+    if args.remat:
+        import dataclasses
+        bcfg = dataclasses.replace(
+            bcfg, model=dataclasses.replace(bcfg.model, remat=True))
     crop = args.crop_size or recipe.crop_size
     batch = args.batch_size or recipe.batch_size
     max_iters = args.max_iters or recipe.max_iters
