@@ -506,7 +506,11 @@ TRAIN_RESIDENT_STAGES = (False, False, True, False)
 # MLP tail of the resident train block: 'xla' = C-contracted dots (XLA
 # autodiff), 'fused' = fused_mlp_cmajor (Pallas LN+MLP fwd; bwd via the
 # tokens-major wide-chunked kernel behind two cheap (C,M) transposes).
-# A/B with probe_train_layout.py masks '0010' vs '0010f'.
+# A/B with probe_train_layout.py masks '0010' vs '0010f'. Measured
+# (v5e bs128 bf16 full train step, 2026-08-20): 'fused' 264.3 ms vs
+# 'xla' 265.3 — a wash; the fused fwd's win is cancelled by the
+# chunked bwd's NF-fold LN/h recompute (see _mlp_bwd_chunked_kernel
+# docstring), so the simpler XLA autodiff tail stays the default.
 TRAIN_RESIDENT_MLP = "xla"
 
 
